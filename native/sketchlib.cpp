@@ -1,0 +1,221 @@
+// sketchlib.cpp — native host runtime for the TPU spaced-kmer-sketching framework.
+//
+// Provides (via a plain C ABI for ctypes):
+//   * spaced-seed mask generation using the real libstdc++ std::mt19937 +
+//     std::shuffle (the reference uses exactly this, src/kmer_bitset.cpp:132-152,
+//     so linking against libstdc++ gives bit-exact masks by construction);
+//   * boost-container_hash-compatible hashing of 128-bit keys (both the
+//     >=1.81 "modern" hash_mix chain and the <1.81 murmur-style combine),
+//     reimplemented from the documented algorithms — used to cross-check the
+//     numpy and on-chip implementations;
+//   * a FASTA parser + 2-bit packer replicating the reference's record
+//     semantics (src/fasta_processing.cpp:79-198), including the quirks:
+//     a sequence line containing a space discards the current record, and a
+//     blank line flushes the current record while keeping its name;
+//   * a fast scalar CPU sketching pipeline over unsigned __int128 windows —
+//     our own formulation of the reference semantics (dual-strand windows,
+//     same mask on both strands, canonical = numerically smaller masked
+//     value; src/kmer_sliding.cpp:112-186) — used as the CPU baseline for
+//     bench.py and as a second oracle for tests.
+//
+// Build: g++ -O3 -std=c++20 -shared -fPIC sketchlib.cpp -o libsketch.so
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <numeric>
+#include <random>
+#include <string>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Spaced-seed mask generation (bit-exact with the reference via libstdc++).
+// Writes the first `k` entries of shuffle(iota(window), mt19937(seed)).
+// Returns 0 on success, -1 on bad arguments.
+int skt_mask_indices(int window, int k, uint64_t seed, int32_t* out) {
+    if (window <= 0 || k <= 0 || k > window || !out) return -1;
+    std::vector<int> idx(window);
+    std::iota(idx.begin(), idx.end(), 0);
+    std::shuffle(idx.begin(), idx.end(), std::mt19937(seed));
+    for (int i = 0; i < k; ++i) out[i] = idx[i];
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Boost-compatible hashing.
+static inline uint64_t hash_mix(uint64_t x) {  // boost >=1.81 hash_detail::hash_mix
+    const uint64_t m = 0x0e9846af9b1a615dULL;
+    x ^= x >> 32; x *= m; x ^= x >> 32; x *= m; x ^= x >> 28;
+    return x;
+}
+static inline uint64_t combine_modern(uint64_t seed, uint64_t v) {
+    return hash_mix(seed + 0x9e3779b9ULL + v);
+}
+static inline uint64_t combine_legacy(uint64_t h, uint64_t k) {  // boost <1.81 impl<64>
+    const uint64_t m = 0xc6a4a7935bd1e995ULL;
+    k *= m; k ^= k >> 47; k *= m;
+    h ^= k; h *= m; h += 0xe6546b64ULL;
+    return h;
+}
+static inline uint64_t hash_bitset128(uint64_t lo, uint64_t hi, int legacy) {
+    // boost::hash_value(dynamic_bitset): res = hash(size=128); combine(res, blocks)
+    if (legacy) {
+        uint64_t inner = combine_legacy(combine_legacy(0, lo), hi);
+        return combine_legacy(128, inner);
+    }
+    uint64_t inner = combine_modern(combine_modern(0, lo), hi);
+    return combine_modern(128, inner);
+}
+
+uint64_t skt_hash_bitset128(uint64_t lo, uint64_t hi, int legacy) {
+    return hash_bitset128(lo, hi, legacy);
+}
+
+// Vectorized version for cross-checking arrays of keys.
+void skt_hash_bitset128_batch(const uint64_t* lo, const uint64_t* hi, int64_t n,
+                              int legacy, uint64_t* out) {
+    for (int64_t i = 0; i < n; ++i) out[i] = hash_bitset128(lo[i], hi[i], legacy);
+}
+
+// ---------------------------------------------------------------------------
+// FASTA ingest: parse records with the reference's exact line semantics, then
+// split into maximal ACGT runs of 2-bit codes.
+struct FastaHandle {
+    std::vector<uint8_t> codes;     // concatenated 2-bit codes of all runs
+    std::vector<int64_t> run_lens;  // length of each ACGT run
+};
+
+static inline int code_of(char c) {
+    switch (c) {
+        case 'a': case 'A': return 0;
+        case 'c': case 'C': return 1;
+        case 'g': case 'G': return 2;
+        case 't': case 'T': return 3;
+        default: return 4;
+    }
+}
+
+static void cut_runs(const std::string& record, FastaHandle* h) {
+    int64_t cur = 0;
+    for (char c : record) {
+        int v = code_of(c);
+        if (v & 4) {
+            if (cur) { h->run_lens.push_back(cur); cur = 0; }
+        } else {
+            h->codes.push_back(static_cast<uint8_t>(v));
+            ++cur;
+        }
+    }
+    if (cur) h->run_lens.push_back(cur);
+}
+
+void* skt_fasta_open(const char* path) {
+    std::ifstream f(path);
+    if (!f.good()) return nullptr;
+    auto* h = new FastaHandle();
+    std::string line, name, content;
+    auto flush = [&]() {
+        if (!name.empty()) cut_runs(content, h);
+    };
+    while (std::getline(f, line)) {   // splits on '\n' only; '\r' survives as non-ACGT
+        if (line.empty() || line[0] == '>') {
+            flush();
+            if (!line.empty()) name = line.substr(1);
+            content.clear();
+        } else if (!name.empty()) {
+            if (line.find(' ') != std::string::npos) {
+                // reference quirk: a sequence line containing a space discards
+                // the whole current record (src/fasta_processing.cpp:114-118)
+                name.clear();
+                content.clear();
+            } else {
+                content += line;
+            }
+        }
+    }
+    flush();
+    return h;
+}
+
+int64_t skt_fasta_total_codes(void* vh) { return static_cast<FastaHandle*>(vh)->codes.size(); }
+int64_t skt_fasta_num_runs(void* vh) { return static_cast<FastaHandle*>(vh)->run_lens.size(); }
+void skt_fasta_copy(void* vh, uint8_t* codes_out, int64_t* run_lens_out) {
+    auto* h = static_cast<FastaHandle*>(vh);
+    if (codes_out && !h->codes.empty())
+        std::memcpy(codes_out, h->codes.data(), h->codes.size());
+    if (run_lens_out && !h->run_lens.empty())
+        std::memcpy(run_lens_out, h->run_lens.data(), h->run_lens.size() * sizeof(int64_t));
+}
+void skt_fasta_close(void* vh) { delete static_cast<FastaHandle*>(vh); }
+
+// ---------------------------------------------------------------------------
+// Scalar CPU sketching pipeline (baseline + oracle).
+typedef unsigned __int128 u128;
+
+static inline u128 make_u128(uint64_t lo, uint64_t hi) {
+    return (static_cast<u128>(hi) << 64) | lo;
+}
+
+// Sketch 2-bit-coded runs: dual-strand sliding windows, same mask on both
+// strands, canonical = smaller masked value (strictly-less picks forward),
+// keep iff (H(masked)^salt) % scale == 0.  Output: unique keys as (lo,hi)
+// pairs, sorted ascending by 128-bit value.  Returns the number of unique
+// keys, or -(needed) if `capacity` is too small.
+int64_t skt_sketch_codes(const uint8_t* codes, const int64_t* run_lens, int64_t n_runs,
+                         uint64_t mask_lo, uint64_t mask_hi, int window,
+                         uint64_t salt, uint64_t scale, int legacy,
+                         uint64_t* keys_out, int64_t capacity) {
+    const u128 mask = make_u128(mask_lo, mask_hi);
+    const int shift_top = 2 * (window - 1);
+    std::vector<u128> kept;
+    const uint8_t* p = codes;
+    for (int64_t r = 0; r < n_runs; ++r) {
+        const int64_t n = run_lens[r];
+        if (n >= window) {
+            u128 fwd = 0, rc = 0;
+            for (int64_t i = 0; i < n; ++i) {
+                const uint8_t nuc = p[i];
+                fwd = (fwd << 2) | nuc;
+                rc = (rc >> 2) | (static_cast<u128>(nuc ^ 0x3u) << shift_top);
+                if (i >= window - 1) {
+                    const u128 mf = fwd & mask, mr = rc & mask;
+                    const u128 canon = (mf < mr) ? mf : mr;
+                    const uint64_t h = hash_bitset128(
+                        static_cast<uint64_t>(canon),
+                        static_cast<uint64_t>(canon >> 64), legacy);
+                    if ((h ^ salt) % scale == 0) kept.push_back(canon);
+                }
+            }
+        }
+        p += n;
+    }
+    std::sort(kept.begin(), kept.end());
+    kept.erase(std::unique(kept.begin(), kept.end()), kept.end());
+    const int64_t cnt = static_cast<int64_t>(kept.size());
+    if (cnt > capacity) return -cnt;
+    for (int64_t i = 0; i < cnt; ++i) {
+        keys_out[2 * i] = static_cast<uint64_t>(kept[i]);
+        keys_out[2 * i + 1] = static_cast<uint64_t>(kept[i] >> 64);
+    }
+    return cnt;
+}
+
+// Sorted-unique 128-bit set intersection (two-pointer merge), for the CPU
+// baseline ANI path.  Keys are (lo,hi) pairs sorted ascending.
+int64_t skt_intersect_sorted(const uint64_t* a, int64_t na,
+                             const uint64_t* b, int64_t nb) {
+    int64_t i = 0, j = 0, cnt = 0;
+    while (i < na && j < nb) {
+        const u128 x = make_u128(a[2 * i], a[2 * i + 1]);
+        const u128 y = make_u128(b[2 * j], b[2 * j + 1]);
+        if (x < y) ++i;
+        else if (y < x) ++j;
+        else { ++cnt; ++i; ++j; }
+    }
+    return cnt;
+}
+
+}  // extern "C"
