@@ -56,7 +56,10 @@ def records_from_fasta_text(text: str) -> List[str]:
     records: List[str] = []
     name = ""
     content: List[str] = []
-    for line in text.split("\n"):
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()  # std::getline never yields a line after the final '\n'
+    for line in lines:
         if line == "" or line[0] == ">":
             if name:
                 records.append("".join(content))

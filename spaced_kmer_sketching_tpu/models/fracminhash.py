@@ -1,0 +1,190 @@
+"""FracMinHash spaced-seed sketcher — the framework's flagship pipeline.
+
+Host-side orchestration around the jitted device steps:
+
+    FASTA -> 2-bit pack (native C++) -> [device] extract + hash-filter +
+    sort-unique  -> Sketch (sorted key array)  -> [device] tiled all-pairs
+    intersections -> [host float64] containment -> ANI
+
+Mirrors the reference call stack kmer_set_from_fasta_file ->
+parallel_kmer_sets_from_fasta_files -> kmer_set_intersection ->
+containment/binomial_estimator (src/kmer_set.cpp:54-184,
+src/ani_estimation.cpp:24-42), re-architected around static-shape batches.
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+import dataclasses
+import math
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ani import binomial_estimator, containment
+from ..config import SketchConfig
+from ..ingest.fasta import PackedSeqs, read_fasta
+from ..ops.intersect import intersection_tile
+from ..ops.sketch import sketch_from_codes
+from ..utils import boosthash
+from ..utils.masks import SpacedSeedMask, spaced_seed_mask
+from ..observability import get_logger, span
+
+log = get_logger(__name__)
+
+_PAD_RUN = -1
+
+
+@dataclasses.dataclass
+class Sketch:
+    """Host-side sketch: sorted unique 128-bit keys as (n, 4) uint32 lanes."""
+    keys: np.ndarray           # (count, 4) uint32, sorted ascending (128-bit)
+    count: int
+    window: int
+    mask: SpacedSeedMask
+    name: str = ""
+
+    def keys_u64(self) -> np.ndarray:
+        """(count, 2) uint64 [lo, hi] view for host-side comparisons."""
+        k = self.keys.astype(np.uint64)
+        lo = k[:, 0] | (k[:, 1] << np.uint64(32))
+        hi = k[:, 2] | (k[:, 3] << np.uint64(32))
+        return np.stack([lo, hi], axis=1)
+
+    def save(self, path: str) -> None:
+        """Sketches are the natural checkpoint artifact (SURVEY.md §5)."""
+        np.savez(path, keys=self.keys, count=self.count, window=self.window,
+                 mask_lo=np.uint64(self.mask.lo), mask_hi=np.uint64(self.mask.hi),
+                 mask_window=self.mask.window, mask_k=self.mask.k,
+                 name=np.str_(self.name))
+
+    @staticmethod
+    def load(path: str) -> "Sketch":
+        z = np.load(path, allow_pickle=False)
+        mask = SpacedSeedMask(window=int(z["mask_window"]), k=int(z["mask_k"]),
+                              lo=int(z["mask_lo"]), hi=int(z["mask_hi"]))
+        return Sketch(keys=z["keys"], count=int(z["count"]),
+                      window=int(z["window"]), mask=mask, name=str(z["name"]))
+
+
+def _bucket_size(n: int, quantum: int = 16384) -> int:
+    """Pad host arrays to few distinct sizes to bound XLA recompiles."""
+    if n <= quantum:
+        return quantum
+    return 1 << math.ceil(math.log2(n))
+
+
+class FracMinHashSketcher:
+    """One (window, k) sketching experiment on a single device.
+
+    The multi-chip variants live in parallel/ and reuse the same device steps.
+    """
+
+    def __init__(self, config: SketchConfig, mask: Optional[SpacedSeedMask] = None):
+        self.config = config
+        self.mask = mask if mask is not None else spaced_seed_mask(
+            config.window, config.k, config.mask_seed)
+        self.salt = boosthash.fmh_salt(self.mask.lo, self.mask.hi,
+                                       config.window, config.nonce,
+                                       config.hash_variant)
+        self._mask_words = jnp.asarray(self.mask.words_u32)
+
+    # ---- single-genome sketching -------------------------------------------------
+    def sketch_packed(self, packed: PackedSeqs, name: str = "") -> Sketch:
+        cfg = self.config
+        total = int(packed.codes.size)
+        nwin = packed.total_windows(cfg.window)
+        if nwin <= 0:
+            return Sketch(keys=np.empty((0, 4), np.uint32), count=0,
+                          window=cfg.window, mask=self.mask, name=name)
+        n = _bucket_size(total + cfg.window)  # window-1 halo keeps nw>=1 shapes sane
+        codes = np.zeros(n, dtype=np.uint32)
+        codes[:total] = packed.codes
+        run_id = np.full(n, _PAD_RUN, dtype=np.int32)
+        pos = 0
+        for i, ln in enumerate(packed.run_lens):
+            run_id[pos:pos + int(ln)] = i
+            pos += int(ln)
+
+        capacity = self.config.capacity_for(nwin)
+        while True:
+            out = sketch_from_codes(
+                jnp.asarray(codes), jnp.asarray(run_id), self._mask_words,
+                window=cfg.window, salt=self.salt, scale=cfg.scale,
+                variant=cfg.hash_variant, capacity=capacity)
+            raw_kept = int(out.raw_kept)
+            if raw_kept <= capacity:
+                break
+            capacity = 1 << math.ceil(math.log2(raw_kept + 1))
+            log.info("sketch capacity overflow (%d kept) -> retry cap=%d",
+                     raw_kept, capacity)
+        count = int(out.count)
+        keys = np.asarray(out.keys[:count])
+        return Sketch(keys=keys, count=count, window=cfg.window,
+                      mask=self.mask, name=name)
+
+    def sketch_file(self, path: str, use_native: bool = True) -> Sketch:
+        packed = read_fasta(path, use_native=use_native)
+        return self.sketch_packed(packed, name=path)
+
+    def sketch_files(self, paths: Sequence[str], max_workers: int = 8) -> List[Sketch]:
+        """Genome-level data parallelism: host threads feed the chip
+        (replaces the reference's cilk_for over files, src/kmer_set.cpp:124)."""
+        with span("sketching", log):
+            packed = {}
+            with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
+                for p, pk in zip(paths, ex.map(read_fasta, paths)):
+                    packed[p] = pk
+            return [self.sketch_packed(packed[p], name=p) for p in paths]
+
+    # ---- pairwise / all-pairs ANI ------------------------------------------------
+    def stack_sketches(self, sketches: Sequence[Sketch], cap: Optional[int] = None):
+        caps = [s.count for s in sketches]
+        cap = cap or max(1, _next_pow2(max(caps) if caps else 1))
+        keys = np.full((len(sketches), cap, 4), 0xFFFFFFFF, dtype=np.uint32)
+        counts = np.zeros(len(sketches), dtype=np.int32)
+        for i, s in enumerate(sketches):
+            keys[i, :s.count] = s.keys
+            counts[i] = s.count
+        return jnp.asarray(keys), jnp.asarray(counts)
+
+    def intersections(self, sketches_a: Sequence[Sketch],
+                      sketches_b: Sequence[Sketch]) -> np.ndarray:
+        """Pairwise |A_i ∩ B_i| for two equal-length sketch lists
+        (reference kmer_set.cpp:143-184 incl. its length-mismatch error)."""
+        if len(sketches_a) != len(sketches_b):
+            raise ValueError("Mismatched pair-list lengths")
+        cap = max(1, _next_pow2(max([s.count for s in sketches_a + list(sketches_b)]
+                                    or [1])))
+        ka, ca = self.stack_sketches(sketches_a, cap)
+        kb, cb = self.stack_sketches(sketches_b, cap)
+        from ..ops.intersect import pair_intersection_batch
+        return np.asarray(pair_intersection_batch(ka, ca, kb, cb))
+
+    def all_pairs_intersections(self, sketches: Sequence[Sketch],
+                                tile: int = 64) -> np.ndarray:
+        """(G, G) intersection matrix, tiled through the device."""
+        g = len(sketches)
+        cap = max(1, _next_pow2(max([s.count for s in sketches] or [1])))
+        keys, counts = self.stack_sketches(sketches, cap)
+        out = np.zeros((g, g), dtype=np.int32)
+        for r0 in range(0, g, tile):
+            r1 = min(r0 + tile, g)
+            for c0 in range(0, g, tile):
+                c1 = min(c0 + tile, g)
+                out[r0:r1, c0:c1] = np.asarray(intersection_tile(
+                    keys[r0:r1], counts[r0:r1], keys[c0:c1], counts[c0:c1]))
+        return out
+
+    def ani_from_intersections(self, inter: np.ndarray,
+                               counts_first: np.ndarray) -> np.ndarray:
+        """containment uses the FIRST set of the ordered pair as denominator
+        (src/kmer-sketching.cpp:198); ANI = containment^(1/k) with k = care
+        positions (mask.count()/2, src/kmer-sketching.cpp:164)."""
+        c = containment(inter, counts_first)
+        return binomial_estimator(c, self.mask.care_positions)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, math.ceil(math.log2(max(n, 1))))

@@ -1,0 +1,113 @@
+"""FASTA ingest semantics, incl. the reference's parser quirks
+(src/fasta_processing.cpp:79-198)."""
+import numpy as np
+import pytest
+
+from spaced_kmer_sketching_tpu.ingest.fasta import (PackedSeqs,
+                                                    read_fasta,
+                                                    records_from_fasta_text)
+from spaced_kmer_sketching_tpu.utils import native
+
+
+def write(tmp_path, text, name="x.fa"):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def runs(packed: PackedSeqs):
+    out, pos = [], 0
+    for n in packed.run_lens:
+        out.append(list(packed.codes[pos:pos + int(n)]))
+        pos += int(n)
+    return out
+
+
+def test_basic_encoding(tmp_path):
+    p = write(tmp_path, ">r\nACGTacgt\n")
+    pk = read_fasta(p, use_native=False)
+    assert runs(pk) == [[0, 1, 2, 3, 0, 1, 2, 3]]
+
+
+def test_non_acgt_splits_runs(tmp_path):
+    p = write(tmp_path, ">r\nACGTNACGT\nACNNGT\n")
+    pk = read_fasta(p, use_native=False)
+    # lines concatenate first, then split at non-ACGT
+    assert runs(pk) == [[0, 1, 2, 3], [0, 1, 2, 3, 0, 1], [2, 3]]
+
+
+def test_space_line_discards_record(tmp_path):
+    # quirk: a sequence line containing a space discards the current record
+    # AND everything already accumulated for it (fasta_processing.cpp:114-118)
+    p = write(tmp_path, ">r1\nACGT\nAC GT\nTTTT\n>r2\nGGGG\n")
+    pk = read_fasta(p, use_native=False)
+    assert runs(pk) == [[2, 2, 2, 2]]
+
+
+def test_blank_line_flushes_but_keeps_name(tmp_path):
+    # a blank line emits the current record; the name persists, so following
+    # sequence becomes a second record under the same name
+    p = write(tmp_path, ">r\nAAAA\n\nCCCC\n")
+    pk = read_fasta(p, use_native=False)
+    assert runs(pk) == [[0, 0, 0, 0], [1, 1, 1, 1]]
+
+
+def test_sequence_before_header_ignored(tmp_path):
+    p = write(tmp_path, "ACGT\n>r\nTTTT\n")
+    pk = read_fasta(p, use_native=False)
+    assert runs(pk) == [[3, 3, 3, 3]]
+
+
+def test_crlf_becomes_run_split(tmp_path):
+    # std::getline keeps '\r'; it is non-ACGT so it cuts runs at line ends
+    p = tmp_path / "crlf.fa"
+    p.write_bytes(b">r\r\nACGT\r\nACGT\r\n")
+    pk = read_fasta(str(p), use_native=False)
+    assert runs(pk) == [[0, 1, 2, 3], [0, 1, 2, 3]]
+
+
+def test_missing_file():
+    with pytest.raises(FileNotFoundError):
+        read_fasta("/does/not/exist.fa", use_native=False)
+    if native.available():
+        with pytest.raises(FileNotFoundError):
+            read_fasta("/does/not/exist.fa", use_native=True)
+
+
+def test_multi_record(tmp_path):
+    p = write(tmp_path, ">a\nAC\n>b\nGT\n")
+    pk = read_fasta(p, use_native=False)
+    assert runs(pk) == [[0, 1], [2, 3]]
+
+
+def test_records_text_parser():
+    recs = records_from_fasta_text(">a\nAC\nGT\n>b\nTT\n")
+    assert recs == ["ACGT", "TT"]
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_matches_python(tmp_path):
+    cases = [
+        ">r\nACGTacgt\n",
+        ">r\nACGTNACGT\nACNNGT\n",
+        ">r1\nACGT\nAC GT\nTTTT\n>r2\nGGGG\n",
+        ">r\nAAAA\n\nCCCC\n",
+        "ACGT\n>r\nTTTT\n",
+        ">a\nAC\n>b\nGT\n",
+        ">only-header\n",
+        "",
+        ">r\nACGT",  # no trailing newline
+    ]
+    for i, text in enumerate(cases):
+        p = write(tmp_path, text, name=f"case{i}.fa")
+        a = read_fasta(p, use_native=False)
+        b = read_fasta(p, use_native=True)
+        assert np.array_equal(a.codes, b.codes), text
+        assert np.array_equal(a.run_lens, b.run_lens), text
+
+
+def test_total_windows():
+    pk = PackedSeqs(codes=np.zeros(10, np.uint8),
+                    run_lens=np.array([7, 3], dtype=np.int64))
+    assert pk.total_windows(5) == 3  # run of 3 too short
+    assert pk.total_windows(3) == 5 + 1

@@ -1,0 +1,100 @@
+"""Device sketch step (filter + sort + dedup) vs the oracle and the C++
+scalar pipeline."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spaced_kmer_sketching_tpu.ops.extract import run_ids_from_lens
+from spaced_kmer_sketching_tpu.ops.sketch import sketch_from_codes
+from spaced_kmer_sketching_tpu.utils import boosthash, native
+from spaced_kmer_sketching_tpu.utils.masks import spaced_seed_mask
+
+from oracle import oracle_sketch
+
+
+def device_sketch(runs, window, k, scale=200, variant="modern", capacity=512,
+                  seed=0):
+    mask = spaced_seed_mask(window, k, seed)
+    salt = boosthash.fmh_salt(mask.lo, mask.hi, window, 1, variant)
+    total = sum(len(r) for r in runs)
+    n = total + window  # padding
+    codes = np.zeros(n, dtype=np.uint32)
+    codes[:total] = [c for r in runs for c in r]
+    run_id = run_ids_from_lens([len(r) for r in runs], n)
+    out = sketch_from_codes(jnp.asarray(codes), jnp.asarray(run_id),
+                            jnp.asarray(mask.words_u32), window=window,
+                            salt=salt, scale=scale, variant=variant,
+                            capacity=capacity)
+    keys = np.asarray(out.keys, dtype=np.uint64)
+    count = int(out.count)
+    vals = set()
+    for i in range(count):
+        vals.add(int(keys[i, 0]) | int(keys[i, 1]) << 32 |
+                 int(keys[i, 2]) << 64 | int(keys[i, 3]) << 96)
+    return mask, salt, vals, count, int(out.raw_kept)
+
+
+@pytest.mark.parametrize("variant", ["modern", "legacy"])
+@pytest.mark.parametrize("window,k,scale", [(10, 10, 20), (20, 16, 50),
+                                            (31, 17, 10), (50, 40, 100)])
+def test_sketch_matches_oracle(window, k, scale, variant):
+    rng = np.random.default_rng(window + k)
+    runs = [list(rng.integers(0, 4, n)) for n in (2000, 500, window - 1)]
+    mask, salt, got, count, raw = device_sketch(
+        runs, window, k, scale=scale, variant=variant, capacity=1024)
+    want = oracle_sketch(runs, mask.value, window, salt, scale, variant)
+    assert got == want
+    assert count == len(want)
+    assert raw >= count
+
+
+def test_sorted_and_padded():
+    rng = np.random.default_rng(1)
+    runs = [list(rng.integers(0, 4, 3000))]
+    window, k, scale = 20, 16, 10
+    mask = spaced_seed_mask(window, k, 0)
+    salt = boosthash.fmh_salt(mask.lo, mask.hi, window, 1, "modern")
+    n = 3000 + window
+    codes = np.zeros(n, dtype=np.uint32)
+    codes[:3000] = runs[0]
+    run_id = run_ids_from_lens([3000], n)
+    out = sketch_from_codes(jnp.asarray(codes), jnp.asarray(run_id),
+                            jnp.asarray(mask.words_u32), window=window,
+                            salt=salt, scale=scale, variant="modern",
+                            capacity=1024)
+    keys = np.asarray(out.keys, np.uint64)
+    count = int(out.count)
+    vals = [int(keys[i, 0]) | int(keys[i, 1]) << 32 | int(keys[i, 2]) << 64 |
+            int(keys[i, 3]) << 96 for i in range(count)]
+    assert vals == sorted(vals) and len(set(vals)) == len(vals)
+    assert (keys[count:] == 0xFFFFFFFF).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_matches_cpp_scalar_pipeline():
+    rng = np.random.default_rng(7)
+    run_lens = [4096, 933, 5]
+    codes = rng.integers(0, 4, sum(run_lens)).astype(np.uint8)
+    window, k, scale = 20, 16, 20
+    mask = spaced_seed_mask(window, k, 0)
+    salt = boosthash.fmh_salt(mask.lo, mask.hi, window, 1, "modern")
+    cpp = native.sketch_codes(codes, np.array(run_lens), mask.lo, mask.hi,
+                              window, salt, scale, legacy=False)
+    cpp_vals = {int(lo) | int(hi) << 64 for lo, hi in cpp}
+    pos = 0
+    runs = []
+    for n in run_lens:
+        runs.append(list(codes[pos:pos + n]))
+        pos += n
+    _, _, dev_vals, _, _ = device_sketch(runs, window, k, scale=scale,
+                                         capacity=2048)
+    assert dev_vals == cpp_vals
+
+
+def test_capacity_overflow_reported():
+    rng = np.random.default_rng(3)
+    runs = [list(rng.integers(0, 4, 4000))]
+    # scale=2 keeps ~half the windows -> way over capacity 256
+    _, _, _, count, raw = device_sketch(runs, 16, 16, scale=2, capacity=256)
+    assert raw > 256  # caller must retry with bigger capacity
