@@ -1,0 +1,153 @@
+"""End-to-end driver tests: pair generators, CSV schema, experiment parity
+with the pure-Python oracle (reference semantics per src/kmer-sketching.cpp)."""
+import numpy as np
+import pytest
+
+from spaced_kmer_sketching_tpu.config import SketchConfig
+from spaced_kmer_sketching_tpu.csvout import CSV_HEADER, format_double, write_to_csv
+from spaced_kmer_sketching_tpu.driver import (reference_sweep_schedule,
+                                              run_experiment)
+from spaced_kmer_sketching_tpu.generators import (all_pair_indices,
+                                                  generate_all_pairs_from_vector,
+                                                  generate_pairwise_from_vector,
+                                                  ring_pair_indices)
+from spaced_kmer_sketching_tpu.ingest.fasta import read_fasta
+from spaced_kmer_sketching_tpu.utils import boosthash
+from spaced_kmer_sketching_tpu.utils.masks import spaced_seed_mask
+
+from oracle import (mutate, oracle_ani, oracle_containment, oracle_sketch,
+                    random_genome)
+
+BASES = "ACGT"
+
+
+def write_fasta(path, seqs, name="rec"):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">{name}{i}\n")
+            codes_str = "".join(BASES[c] for c in s)
+            for j in range(0, len(codes_str), 70):
+                f.write(codes_str[j:j + 70] + "\n")
+    return str(path)
+
+
+# ---- generators (src/generators.hpp:21-58) -----------------------------------
+
+def test_ring_pairs():
+    assert ring_pair_indices(4) == [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert ring_pair_indices(1) == [(0, 0)]
+    assert generate_pairwise_from_vector(["a", "b"]) == [("a", "b"), ("b", "a")]
+
+
+def test_all_pairs_ordered_incl_self():
+    # full n^2, i outer, j inner, self-pairs included (generators.hpp:45-58)
+    assert all_pair_indices(2) == [(0, 0), (0, 1), (1, 0), (1, 1)]
+    assert generate_all_pairs_from_vector(["x"]) == [("x", "x")]
+
+
+# ---- CSV writer (src/kmer-sketching.cpp:46-81) -------------------------------
+
+def test_csv_schema_and_append(tmp_path):
+    mask = spaced_seed_mask(10, 10, 0)
+    out = str(tmp_path / "r.csv")
+    write_to_csv(["a"], ["b"], [0.987654321], 10, mask, out, is_append=False)
+    write_to_csv(["c"], ["d"], [1.0], 10, mask, out, is_append=True)
+    lines = open(out).read().splitlines()
+    assert lines[0] == CSV_HEADER
+    assert len(lines) == 3
+    f1, f2, val, w, bits = lines[1].split(",")
+    assert (f1, f2, w) == ("a", "b", "10")
+    assert val == "0.987654"          # C++ ostream 6 sig digits
+    assert bits == mask.bitstring() and len(bits) == 128
+    assert lines[2].startswith("c,d,1,10,")
+
+
+def test_csv_row_count_is_min_of_lengths(tmp_path):
+    # numEntries = min of the three list sizes (src/kmer-sketching.cpp:73)
+    mask = spaced_seed_mask(12, 8, 0)
+    out = str(tmp_path / "m.csv")
+    write_to_csv(["a", "b", "c"], ["x", "y"], [0.5], 12, mask, out)
+    assert len(open(out).read().splitlines()) == 2
+
+
+def test_format_double_matches_cpp_defaults():
+    assert format_double(1.0) == "1"
+    assert format_double(0.0) == "0"
+    assert format_double(0.925) == "0.925"
+    assert format_double(0.1234567) == "0.123457"
+
+
+# ---- end-to-end experiment vs oracle -----------------------------------------
+
+def oracle_experiment(fasta_paths, window, k, scale, nonce=1, variant="modern",
+                      seed=0):
+    mask = spaced_seed_mask(window, k, seed)
+    salt = boosthash.fmh_salt(mask.lo, mask.hi, window, nonce, variant)
+    sketches = []
+    for p in fasta_paths:
+        packed = read_fasta(p)
+        runs, pos = [], 0
+        for ln in packed.run_lens:
+            runs.append([int(c) for c in packed.codes[pos:pos + int(ln)]])
+            pos += int(ln)
+        sketches.append(oracle_sketch(runs, mask.value, window, salt, scale,
+                                      variant))
+    anis = []
+    for i in range(len(sketches)):
+        for j in range(len(sketches)):
+            inter = len(sketches[i] & sketches[j])
+            c = oracle_containment(inter, len(sketches[i]))
+            anis.append(oracle_ani(c, mask.care_positions))
+    return np.array(anis)
+
+
+@pytest.mark.parametrize("window,k,scale", [(12, 8, 5), (20, 16, 20)])
+def test_run_experiment_matches_oracle(tmp_path, window, k, scale):
+    rng = np.random.default_rng(7)
+    base = random_genome(rng, 4000)
+    paths = [
+        write_fasta(tmp_path / "g0.fa", [base]),
+        write_fasta(tmp_path / "g1.fa", [mutate(rng, base, 0.05)]),
+        write_fasta(tmp_path / "g2.fa", [random_genome(rng, 3000)]),
+    ]
+    cfg = SketchConfig(window=window, k=k, scale=scale)
+    out = str(tmp_path / "ani.csv")
+    ani = run_experiment(window, k, paths, out, False, config=cfg,
+                         echo_timings=False)
+    want = oracle_experiment(paths, window, k, scale)
+    np.testing.assert_array_equal(ani, want)
+
+    lines = open(out).read().splitlines()
+    assert lines[0] == CSV_HEADER
+    assert len(lines) == 1 + 9          # 3 genomes -> 9 ordered pairs
+    # self-pair of genome 0 must be ANI 1
+    row00 = lines[1].split(",")
+    assert row00[0] == paths[0] and row00[1] == paths[0] and row00[2] == "1"
+
+
+def test_experiment_with_non_acgt_and_multirecord(tmp_path):
+    rng = np.random.default_rng(11)
+    g = random_genome(rng, 1500)
+    p0 = tmp_path / "n0.fa"
+    with open(p0, "w") as f:
+        f.write(">r0\n")
+        s = "".join(BASES[c] for c in g)
+        f.write(s[:700] + "NN\n" + s[700:] + "\n>r1\n" + s[:300] + "\n")
+    p1 = write_fasta(tmp_path / "n1.fa", [mutate(rng, g, 0.02)])
+    paths = [str(p0), str(p1)]
+    cfg = SketchConfig(window=14, k=9, scale=4)
+    ani = run_experiment(14, 9, paths, str(tmp_path / "o.csv"), False,
+                         config=cfg, echo_timings=False)
+    want = oracle_experiment(paths, 14, 9, 4)
+    np.testing.assert_array_equal(ani, want)
+
+
+# ---- sweep schedule (src/kmer-sketching.cpp:214-240) -------------------------
+
+def test_reference_sweep_schedule():
+    sched = reference_sweep_schedule()
+    assert len(sched) == 62
+    assert sched[0] == (10, 10, False)
+    assert sched[1] == (11, 11, True) and sched[30] == (40, 40, True)
+    assert sched[31] == (20, 10, True) and sched[61] == (50, 40, True)
+    assert all(a for _, _, a in sched[1:])
