@@ -43,26 +43,40 @@ def _sort_rows(words, extra=()):
     return [w0, w1, w2, w3], out[4:]
 
 
-@functools.partial(jax.jit, static_argnames=("window", "salt", "scale",
-                                             "variant", "capacity"))
-def sketch_from_codes(codes, run_id, mask_words, *, window: int, salt: int,
-                      scale: int, variant: str, capacity: int) -> SketchBatch:
+def sketch_core(codes, run_id, mask_words, *, window: int, salt,
+                scale: int, variant: str, capacity: int) -> SketchBatch:
     """Full single-genome sketch step: extract -> FracMinHash filter -> sort
     -> unique -> compact to `capacity`.
 
-    codes/run_id: (n,) device arrays (see ops/extract.py).
+    codes/run_id: (n,) device arrays (see ops/extract.py).  `salt` is either
+    a static python int or a traced (hi, lo) uint32 pair — the latter lets
+    multi-seed sketching vmap over (mask, salt) without recompiling.
+    Not jitted: compose under jit/vmap/shard_map.
     """
     canon, valid = extract_windows(codes, run_id, window, mask_words)
     keep = valid & u64ops.fmh_keep(*canon, salt=salt, scale=scale, variant=variant)
 
-    # Dropped windows become sentinel rows which sort to the back.
-    words = [jnp.where(keep, canon[q], SENTINEL) for q in range(KEY_WORDS)]
+    # Compact survivors (~1/scale of windows) into the static `capacity`
+    # buffer: rank each window (kept -> its position, dropped -> MAX), pick
+    # the `capacity` best ranks with top_k (TPU-fast partial sort; scatters
+    # serialize on TPU and a full n-row sort is O(n log n) on 4-word keys),
+    # then gather the 4 key lanes at those indices.  Every kept key lands in
+    # the buffer as long as raw_kept <= capacity (the caller checks via
+    # raw_kept and retries bigger on overflow).
     raw_kept = jnp.sum(keep).astype(jnp.int32)
-
+    nw = keep.shape[0]
+    pos = lax.broadcasted_iota(jnp.int32, (nw, 1), 0)[:, 0]
+    rank = jnp.where(keep, pos, jnp.int32(0x7FFFFFFF))
+    k_top = min(capacity, nw)
+    neg_rank, idx = lax.top_k(-rank, k_top)
+    kept_valid = neg_rank != -0x7FFFFFFF
+    words = [jnp.where(kept_valid, canon[q][idx], SENTINEL)
+             for q in range(KEY_WORDS)]
+    if k_top < capacity:
+        pad = jnp.full((capacity - k_top,), SENTINEL)
+        words = [jnp.concatenate([w, pad]) for w in words]
+    # sort only the small buffer to establish the sorted-unique invariant
     words, _ = _sort_rows(words)
-    # Keep only the first `capacity` rows — every kept key is in this prefix
-    # as long as raw_kept <= capacity (checked by the caller via raw_kept).
-    words = [w[:capacity] for w in words]
 
     # adjacent-unique inside the prefix
     idx = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
@@ -79,3 +93,65 @@ def sketch_from_codes(codes, run_id, mask_words, *, window: int, salt: int,
     words, _ = _sort_rows(words)
     keys = jnp.stack(words, axis=-1)  # (capacity, 4) little-endian lanes
     return SketchBatch(keys=keys, count=count, raw_kept=raw_kept)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "salt", "scale",
+                                             "variant", "capacity"))
+def sketch_from_codes(codes, run_id, mask_words, *, window: int, salt: int,
+                      scale: int, variant: str, capacity: int) -> SketchBatch:
+    """Jitted single-genome sketch step (static salt)."""
+    return sketch_core(codes, run_id, mask_words, window=window, salt=salt,
+                       scale=scale, variant=variant, capacity=capacity)
+
+
+def merge_sketches(keys, counts, capacity: int) -> SketchBatch:
+    """Merge S sorted-unique sketches into one: keys (S, cap, 4) uint32,
+    counts (S,) int32 -> SketchBatch with `capacity` rows.
+
+    Used to combine per-chunk sketches from sequence-parallel extraction and
+    per-chip partial sketches in the multi-host path.  Not jitted: compose
+    under jit/shard_map.
+    """
+    s, cap = keys.shape[0], keys.shape[1]
+    n = s * cap
+    flat = keys.reshape(n, KEY_WORDS)
+    idx_in = lax.broadcasted_iota(jnp.int32, (s, cap), 1)
+    valid = (idx_in < counts[:, None]).reshape(n)
+    words = [jnp.where(valid, flat[:, q], SENTINEL) for q in range(KEY_WORDS)]
+    total = jnp.sum(counts).astype(jnp.int32)
+
+    words, _ = _sort_rows(words)
+    if n < capacity:
+        pad = jnp.full((capacity - n,), SENTINEL)
+        words = [jnp.concatenate([w, pad]) for w in words]
+    else:
+        words = [w[:capacity] for w in words]
+    idx = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    neq_prev = jnp.zeros((capacity,), jnp.bool_)
+    for q in range(KEY_WORDS):
+        neq_prev = neq_prev | (words[q] != jnp.roll(words[q], 1))
+    uniq = (idx < total) & ((idx == 0) | neq_prev)
+    count = jnp.sum(uniq).astype(jnp.int32)
+    words = [jnp.where(uniq, w, SENTINEL) for w in words]
+    words, _ = _sort_rows(words)
+    return SketchBatch(keys=jnp.stack(words, axis=-1), count=count,
+                       raw_kept=total)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "scale", "variant",
+                                             "capacity"))
+def sketch_from_codes_multiseed(codes, run_id, masks_words, salt_pairs, *,
+                                window: int, scale: int, variant: str,
+                                capacity: int) -> SketchBatch:
+    """Fused multi-seed sketching: S spaced seeds evaluated over one genome
+    in a single compiled program (the EP analog of SURVEY.md §2.1 — "experts"
+    = seeds, all dense; BASELINE.json config 3).
+
+    masks_words: (S, 4) uint32; salt_pairs: (S, 2) uint32 [hi, lo] rows.
+    Returns a SketchBatch with a leading S axis.
+    """
+    def one(mask_w, sp):
+        return sketch_core(codes, run_id, mask_w, window=window,
+                           salt=(sp[0], sp[1]), scale=scale, variant=variant,
+                           capacity=capacity)
+    return jax.vmap(one)(masks_words, salt_pairs)

@@ -130,12 +130,25 @@ def mod_small(x, m: int):
     return ((h % m) * jnp.asarray(pow32, U32) + (l % m)) % jnp.asarray(m, U32)
 
 
-def fmh_keep(w0, w1, w2, w3, salt: int, scale: int, variant: str = "modern"):
+def fmh_keep(w0, w1, w2, w3, salt, scale: int, variant: str = "modern"):
     """FracMinHash keep decision per key: (H(key) ^ salt) % scale == 0.
 
     salt = H(mask) ^ window ^ nonce, precomputed on host
-    (src/kmer.hpp:144-148, src/kmer-sketching.cpp:31-33).
+    (src/kmer.hpp:144-148, src/kmer-sketching.cpp:31-33).  May be a static
+    python int or a traced (hi, lo) uint32 pair (multi-seed vmap path).
     """
     h = hash_bitset128(w0, w1, w2, w3, variant)
-    h = xor64(h, const64(salt, like=w0))
+    if isinstance(salt, int):
+        h = xor64(h, const64(salt, like=w0))
+    else:
+        sh, sl = salt
+        h = xor64(h, (jnp.broadcast_to(sh, w0.shape),
+                      jnp.broadcast_to(sl, w0.shape)))
     return mod_small(h, scale) == 0
+
+
+def salt_pair(salt: int):
+    """Split a host-computed 64-bit salt into a (2,) uint32 [hi, lo] array."""
+    import numpy as np
+    return np.array([(salt >> 32) & 0xFFFFFFFF, salt & 0xFFFFFFFF],
+                    dtype=np.uint32)

@@ -1,0 +1,14 @@
+"""Multi-device parallel layer: mesh sharding over genomes, pairs, and
+sequence chunks (TPU-native replacement of the reference's OpenCilk
+work-stealing layer, SURVEY.md §2.1)."""
+from .mesh import (COL_AXIS, ROW_AXIS, data_spec, make_mesh, pad_to_multiple,
+                   replicated)
+from .allpairs import sharded_all_pairs_fn, sharded_ani_fn
+from .sketch import pack_genome_batch, sharded_sketch_fn
+from .sequence import sequence_parallel_sketch_fn
+
+__all__ = [
+    "COL_AXIS", "ROW_AXIS", "data_spec", "make_mesh", "pad_to_multiple",
+    "replicated", "sharded_all_pairs_fn", "sharded_ani_fn",
+    "pack_genome_batch", "sharded_sketch_fn", "sequence_parallel_sketch_fn",
+]

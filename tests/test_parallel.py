@@ -1,0 +1,195 @@
+"""Parallel layer on a virtual 8-device CPU mesh (conftest.py forces it):
+sharded sketching, 2-D tiled all-pairs, sequence-parallel halo extraction,
+multi-seed fused sketching.  Everything must be bit-identical to the
+single-device path / oracle — determinism across shardings is this
+framework's analog of race detection (SURVEY.md §5)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from spaced_kmer_sketching_tpu.ops.extract import run_ids_from_lens
+from spaced_kmer_sketching_tpu.ops.sketch import (merge_sketches,
+                                                  sketch_from_codes,
+                                                  sketch_from_codes_multiseed)
+from spaced_kmer_sketching_tpu.ops import u64ops
+from spaced_kmer_sketching_tpu.parallel import (make_mesh, pack_genome_batch,
+                                                sharded_all_pairs_fn,
+                                                sharded_ani_fn,
+                                                sharded_sketch_fn,
+                                                sequence_parallel_sketch_fn)
+from spaced_kmer_sketching_tpu.utils import boosthash
+from spaced_kmer_sketching_tpu.utils.masks import spaced_seed_mask
+
+from oracle import oracle_ani, oracle_containment, oracle_sketch
+
+WINDOW, K, SCALE, VARIANT = 16, 12, 5, "modern"
+
+
+def setup_module(module):
+    assert jax.device_count() == 8, "conftest must fake 8 CPU devices"
+
+
+def _mask_salt():
+    mask = spaced_seed_mask(WINDOW, K, 0)
+    salt = boosthash.fmh_salt(mask.lo, mask.hi, WINDOW, 1, VARIANT)
+    return mask, salt
+
+
+def _keys_to_set(keys, count):
+    k = np.asarray(keys, dtype=np.uint64)
+    return {int(k[i, 0]) | int(k[i, 1]) << 32 | int(k[i, 2]) << 64 |
+            int(k[i, 3]) << 96 for i in range(int(count))}
+
+
+class FakePacked:
+    def __init__(self, runs):
+        self.codes = np.concatenate([np.asarray(r, np.uint8) for r in runs])
+        self.run_lens = np.array([len(r) for r in runs], dtype=np.int64)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh((4, 2))
+
+
+@pytest.fixture(scope="module")
+def genomes():
+    rng = np.random.default_rng(3)
+    gs = []
+    for i in range(6):
+        runs = [list(rng.integers(0, 4, n))
+                for n in rng.integers(200, 1200, size=rng.integers(1, 4))]
+        gs.append(FakePacked(runs))
+    return gs
+
+
+def test_sharded_sketch_matches_oracle(mesh, genomes):
+    mask, salt = _mask_salt()
+    codes, run_ids, g = pack_genome_batch(genomes, mesh.devices.size, WINDOW)
+    assert codes.shape[0] % 8 == 0
+    fn = sharded_sketch_fn(mesh, window=WINDOW, salt=salt, scale=SCALE,
+                           variant=VARIANT, capacity=512)
+    out = fn(jnp.asarray(codes), jnp.asarray(run_ids),
+             jnp.asarray(mask.words_u32))
+    for i, gnm in enumerate(genomes):
+        runs, pos = [], 0
+        for ln in gnm.run_lens:
+            runs.append([int(c) for c in gnm.codes[pos:pos + ln]])
+            pos += int(ln)
+        want = oracle_sketch(runs, mask.value, WINDOW, salt, SCALE, VARIANT)
+        got = _keys_to_set(out.keys[i], out.count[i])
+        assert got == want, f"genome {i}"
+    # padding rows are empty
+    for i in range(g, codes.shape[0]):
+        assert int(out.count[i]) == 0
+
+
+def test_sharded_all_pairs_and_ani(mesh, genomes):
+    mask, salt = _mask_salt()
+    codes, run_ids, g = pack_genome_batch(genomes, mesh.devices.size, WINDOW)
+    sk = sharded_sketch_fn(mesh, window=WINDOW, salt=salt, scale=SCALE,
+                           variant=VARIANT, capacity=512)
+    out = sk(jnp.asarray(codes), jnp.asarray(run_ids),
+             jnp.asarray(mask.words_u32))
+    pairs = sharded_all_pairs_fn(mesh)
+    inter = np.asarray(pairs(out.keys, out.count))
+    gp = codes.shape[0]
+    assert inter.shape == (gp, gp)
+
+    sets = [_keys_to_set(out.keys[i], out.count[i]) for i in range(gp)]
+    want = np.array([[len(a & b) for b in sets] for a in sets])
+    np.testing.assert_array_equal(inter, want)
+
+    _, ani = sharded_ani_fn(mesh, mask.care_positions)(out.keys, out.count)
+    ani = np.asarray(ani)
+    for i in range(g):
+        for j in range(g):
+            c = oracle_containment(int(inter[i, j]), len(sets[i]))
+            assert ani[i, j] == pytest.approx(
+                oracle_ani(c, mask.care_positions), rel=2e-6)
+    assert np.allclose(np.diag(ani)[:g], 1.0)
+
+
+def test_sequence_parallel_matches_single_device(mesh):
+    rng = np.random.default_rng(9)
+    n = 8 * 1024
+    # two runs split mid-sequence; run ids are global so halos stay correct
+    run_lens = [3000, n - 3000]
+    codes = rng.integers(0, 4, n).astype(np.uint32)
+    run_id = run_ids_from_lens(run_lens, n)
+    mask, salt = _mask_salt()
+
+    sp = sequence_parallel_sketch_fn(mesh, window=WINDOW, salt=salt,
+                                     scale=SCALE, variant=VARIANT,
+                                     capacity=4096)
+    out = sp(jnp.asarray(codes), jnp.asarray(run_id),
+             jnp.asarray(mask.words_u32))
+
+    ref = sketch_from_codes(jnp.asarray(codes), jnp.asarray(run_id),
+                            jnp.asarray(mask.words_u32), window=WINDOW,
+                            salt=salt, scale=SCALE, variant=VARIANT,
+                            capacity=4096)
+    assert int(ref.raw_kept) <= 4096, "test must not overflow capacity"
+    assert int(out.count) == int(ref.count)
+    assert _keys_to_set(out.keys, out.count) == _keys_to_set(ref.keys,
+                                                             ref.count)
+    # all devices hold the same replicated sketch
+    assert int(out.raw_kept) >= int(out.count)
+
+
+def test_merge_sketches_dedups_across_chunks():
+    mask, salt = _mask_salt()
+    rng = np.random.default_rng(5)
+    runs_a = [list(rng.integers(0, 4, 900))]
+    runs_b = [runs_a[0][:500] + list(rng.integers(0, 4, 400))]  # overlap
+    outs = []
+    for runs in (runs_a, runs_b):
+        total = sum(map(len, runs))
+        n = total + WINDOW
+        codes = np.zeros(n, np.uint32)
+        codes[:total] = [c for r in runs for c in r]
+        rid = run_ids_from_lens([len(r) for r in runs], n)
+        outs.append(sketch_from_codes(
+            jnp.asarray(codes), jnp.asarray(rid), jnp.asarray(mask.words_u32),
+            window=WINDOW, salt=salt, scale=SCALE, variant=VARIANT,
+            capacity=256))
+    keys = jnp.stack([o.keys for o in outs])
+    counts = jnp.stack([o.count for o in outs])
+    merged = merge_sketches(keys, counts, 1024)
+    assert int(merged.raw_kept) <= 1024  # no overflow: merge is exact here
+    want = _keys_to_set(outs[0].keys, outs[0].count) | _keys_to_set(
+        outs[1].keys, outs[1].count)
+    assert _keys_to_set(merged.keys, merged.count) == want
+
+
+def test_multiseed_fused_matches_per_seed():
+    rng = np.random.default_rng(13)
+    runs = [list(rng.integers(0, 4, 2500))]
+    total = len(runs[0])
+    n = total + WINDOW
+    codes = np.zeros(n, np.uint32)
+    codes[:total] = runs[0]
+    rid = run_ids_from_lens([total], n)
+
+    seeds = list(range(8))
+    masks = [spaced_seed_mask(WINDOW, K, s) for s in seeds]
+    salts = [boosthash.fmh_salt(m.lo, m.hi, WINDOW, 1, VARIANT)
+             for m in masks]
+    masks_w = jnp.asarray(np.stack([m.words_u32 for m in masks]))
+    salt_pairs = jnp.asarray(np.stack([u64ops.salt_pair(s) for s in salts]))
+
+    fused = sketch_from_codes_multiseed(
+        jnp.asarray(codes), jnp.asarray(rid), masks_w, salt_pairs,
+        window=WINDOW, scale=SCALE, variant=VARIANT, capacity=1024)
+    for s in seeds:
+        one = sketch_from_codes(
+            jnp.asarray(codes), jnp.asarray(rid),
+            jnp.asarray(masks[s].words_u32), window=WINDOW, salt=salts[s],
+            scale=SCALE, variant=VARIANT, capacity=1024)
+        assert _keys_to_set(fused.keys[s], fused.count[s]) == _keys_to_set(
+            one.keys, one.count), f"seed {s}"
+        want = oracle_sketch(runs, masks[s].value, WINDOW, salts[s], SCALE,
+                             VARIANT)
+        assert _keys_to_set(fused.keys[s], fused.count[s]) == want
