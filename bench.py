@@ -30,6 +30,11 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=20)
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--scale", type=int, default=200)
+    ap.add_argument("--mode", choices=("sketch", "allpairs"), default="sketch",
+                    help="sketch: fused extraction step (headline); "
+                         "allpairs: G x G ANI matrix throughput")
+    ap.add_argument("--genomes", type=int, default=128,
+                    help="G for --mode allpairs")
     args = ap.parse_args()
     if args.iters < 1:
         ap.error("--iters must be >= 1")
@@ -46,6 +51,9 @@ def main() -> int:
     from spaced_kmer_sketching_tpu.ops.sketch import sketch_from_codes
     from spaced_kmer_sketching_tpu.utils import boosthash, native
     from spaced_kmer_sketching_tpu.utils.masks import spaced_seed_mask
+
+    if args.mode == "allpairs":
+        return bench_allpairs(args)
 
     window, k, scale = args.window, args.k, args.scale
     n = args.nt
@@ -100,6 +108,77 @@ def main() -> int:
         "nt": n, "window": window, "k": k, "scale": scale,
         "sketch_count": int(out.count),
         "step_ms": round(dt * 1e3, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+def bench_allpairs(args) -> int:
+    """G x G all-pairs ANI matrix throughput (BASELINE.json config 2)."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from spaced_kmer_sketching_tpu.ops.intersect import intersection_tile
+    from spaced_kmer_sketching_tpu.utils import native
+
+    g = args.genomes
+    cap = 1 << 13                      # 8192 keys/sketch, typical E. coli size
+    rng = np.random.default_rng(0)
+    # synthetic sorted-unique sketches sharing a common core (realistic hit
+    # rates): 60% shared pool + 40% private keys per genome
+    pool = np.unique(rng.integers(0, 1 << 62, size=2 * cap).astype(np.uint64))
+    keys_np = np.full((g, cap, 4), 0xFFFFFFFF, dtype=np.uint32)
+    counts_np = np.zeros((g,), np.int32)
+    for i in range(g):
+        shared = rng.choice(pool, size=int(cap * 0.6), replace=False)
+        priv = rng.integers(0, 1 << 62, size=cap - shared.size).astype(np.uint64)
+        u = np.unique(np.concatenate([shared, priv]))
+        counts_np[i] = u.size
+        keys_np[i, :u.size, 0] = (u & 0xFFFFFFFF).astype(np.uint32)
+        keys_np[i, :u.size, 1] = (u >> 32).astype(np.uint32)
+        keys_np[i, :u.size, 2] = 0
+        keys_np[i, :u.size, 3] = 0
+    keys = jnp.asarray(keys_np)
+    counts = jnp.asarray(counts_np)
+
+    out = intersection_tile(keys, counts, keys, counts)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = intersection_tile(keys, counts, keys, counts)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / args.iters
+    pairs = g * g
+    tpu_rate = pairs / dt
+
+    cpu_rate = None
+    if native.available():
+        # native layout: (count, 2) u64 rows [lo, hi]
+        u64s = []
+        for i in range(g):
+            c = counts_np[i]
+            lo = (keys_np[i, :c, 0].astype(np.uint64)
+                  | (keys_np[i, :c, 1].astype(np.uint64) << 32))
+            hi = (keys_np[i, :c, 2].astype(np.uint64)
+                  | (keys_np[i, :c, 3].astype(np.uint64) << 32))
+            u64s.append(np.ascontiguousarray(np.stack([lo, hi], axis=1)))
+        sample = min(g, 16)
+        t0 = time.perf_counter()
+        npairs = 0
+        for i in range(sample):
+            for j in range(sample):
+                native.intersect_sorted(u64s[i], u64s[j])
+                npairs += 1
+        cpu_rate = npairs / (time.perf_counter() - t0)
+
+    result = {
+        "metric": "ani_pairs_per_s",
+        "value": round(tpu_rate, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 3) if cpu_rate else None,
+        "baseline_cpu_scalar_pairs_per_s": round(cpu_rate, 1) if cpu_rate else None,
+        "platform": jax.devices()[0].platform,
+        "genomes": g, "sketch_cap": cap, "step_ms": round(dt * 1e3, 3),
     }
     print(json.dumps(result))
     return 0

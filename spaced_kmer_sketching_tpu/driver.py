@@ -36,7 +36,8 @@ def run_experiment(window_size: int, kmer_size: int, filenames: Sequence[str],
                    output_filename: str, is_append: bool,
                    config: Optional[SketchConfig] = None,
                    sketcher: Optional[FracMinHashSketcher] = None,
-                   echo_timings: bool = True) -> np.ndarray:
+                   echo_timings: bool = True,
+                   store=None) -> np.ndarray:
     """One (window, k) experiment over `filenames`; returns the flat ANI list
     in reference pair order (all ordered pairs incl. self, row-major).
 
@@ -51,7 +52,10 @@ def run_experiment(window_size: int, kmer_size: int, filenames: Sequence[str],
     sk = sketcher or FracMinHashSketcher(cfg)
 
     t0 = time.perf_counter()
-    sketches: List[Sketch] = sk.sketch_files(filenames)
+    if store is not None:
+        sketches: List[Sketch] = store.sketch_files_resumable(sk, filenames)
+    else:
+        sketches = sk.sketch_files(filenames)
     t1 = time.perf_counter()
     if echo_timings:
         print(f"Time taken for sketching = {(t1 - t0) * 1e3} ms")
@@ -85,10 +89,10 @@ def reference_sweep_schedule():
 
 def run_reference_sweep(output_filename: str, filenames: Sequence[str],
                         config: Optional[SketchConfig] = None,
-                        echo_timings: bool = True) -> None:
+                        echo_timings: bool = True, store=None) -> None:
     for window, k, is_append in reference_sweep_schedule():
         run_experiment(window, k, filenames, output_filename, is_append,
-                       config=config, echo_timings=echo_timings)
+                       config=config, echo_timings=echo_timings, store=store)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
@@ -109,7 +113,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                         default=SketchConfig.hash_variant)
     parser.add_argument("--append", action="store_true",
                         help="append to the CSV (single-experiment mode)")
+    parser.add_argument("--store", default=None, metavar="DIR",
+                        help="sketch checkpoint directory: reruns reuse "
+                             "already-computed sketches")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="write a jax.profiler trace to DIR")
+    parser.add_argument("--platform", default=None,
+                        help="JAX platform override (e.g. cpu); needed "
+                             "because the environment may pin a TPU backend "
+                             "at interpreter start")
     args = parser.parse_args(argv)
+
+    if args.platform:
+        import os
+        os.environ["JAX_PLATFORMS"] = args.platform
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     base = SketchConfig(
         window=args.window or 10, k=args.k or 10, scale=args.scale,
@@ -117,11 +136,24 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         hash_variant=args.hash_variant)
     if (args.window is None) != (args.k is None):
         parser.error("--window and --k must be given together")
-    if args.window is not None:
-        run_experiment(args.window, args.k, args.fastas, args.output_csv,
-                       args.append, config=base)
-    else:
-        run_reference_sweep(args.output_csv, args.fastas, config=base)
+
+    store = None
+    if args.store:
+        from .store import SketchStore
+        store = SketchStore(args.store)
+
+    import contextlib
+    ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+        ctx = jax.profiler.trace(args.profile)
+    with ctx:
+        if args.window is not None:
+            run_experiment(args.window, args.k, args.fastas, args.output_csv,
+                           args.append, config=base, store=store)
+        else:
+            run_reference_sweep(args.output_csv, args.fastas, config=base,
+                                store=store)
     return 0
 
 
