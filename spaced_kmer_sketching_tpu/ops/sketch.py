@@ -21,7 +21,12 @@ from jax import lax
 from . import u64ops
 from .extract import extract_windows
 
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+# Host-side constant, NOT jnp: a module-level jnp array is committed to
+# whatever backend is default at import time (the axon TPU tunnel in this
+# environment), and CPU jits then fetch it per-lowering as a remote device
+# constant — observed as minute-long graph lowering in the CLI.
+import numpy as _np
+SENTINEL = _np.uint32(0xFFFFFFFF)
 KEY_WORDS = 4
 
 
@@ -35,12 +40,29 @@ class SketchBatch(NamedTuple):
 
 
 def _sort_rows(words, extra=()):
-    """Ascending 128-bit lexicographic sort. `words` little-endian lanes."""
-    # most-significant word first for lexicographic order
+    """Ascending 128-bit lexicographic sort. `words` little-endian lanes.
+
+    Dispatches to the Pallas bitonic kernel on TPU (XLA's multi-operand
+    comparator sort was the dominant cost of the whole sketch step: 2.5 ms
+    of a 4.5 ms step at 32k rows on v5e); falls back to lax.sort on other
+    backends, for ride-along operands, or for shapes the kernel rejects."""
+    n = words[0].shape[0]
+    use_pallas = (not extra and jax.default_backend() == "tpu"
+                  and words[0].ndim == 1 and n >= 1024
+                  and (n & (n - 1)) == 0
+                  and not _PALLAS_SORT_DISABLED)
+    if use_pallas:
+        from .pallas.sort import bitonic_sort_128
+        keys = bitonic_sort_128(jnp.stack(words, axis=-1))
+        return [keys[:, q] for q in range(KEY_WORDS)], ()
     operands = (words[3], words[2], words[1], words[0]) + tuple(extra)
     out = lax.sort(operands, num_keys=4)
     w3, w2, w1, w0 = out[:4]
     return [w0, w1, w2, w3], out[4:]
+
+
+import os as _os
+_PALLAS_SORT_DISABLED = _os.environ.get("SKS_DISABLE_PALLAS_SORT") == "1"
 
 
 def sketch_core(codes, run_id, mask_words, *, window: int, salt,
@@ -53,28 +75,35 @@ def sketch_core(codes, run_id, mask_words, *, window: int, salt,
     multi-seed sketching vmap over (mask, salt) without recompiling.
     Not jitted: compose under jit/vmap/shard_map.
     """
-    canon, valid = extract_windows(codes, run_id, window, mask_words)
-    keep = valid & u64ops.fmh_keep(*canon, salt=salt, scale=scale, variant=variant)
+    if (isinstance(salt, int) and jax.default_backend() == "tpu"
+            and not _PALLAS_SORT_DISABLED and codes.ndim == 1):
+        from .pallas.extract import extract_filter_windows
+        canon, keep = extract_filter_windows(
+            codes, run_id, mask_words, window=window, salt=salt, scale=scale,
+            variant=variant)
+    else:
+        canon, valid = extract_windows(codes, run_id, window, mask_words)
+        keep = valid & u64ops.fmh_keep(*canon, salt=salt, scale=scale,
+                                       variant=variant)
 
-    # Compact survivors (~1/scale of windows) into the static `capacity`
-    # buffer: rank each window (kept -> its position, dropped -> MAX), pick
-    # the `capacity` best ranks with top_k (TPU-fast partial sort; scatters
-    # serialize on TPU and a full n-row sort is O(n log n) on 4-word keys),
-    # then gather the 4 key lanes at those indices.  Every kept key lands in
-    # the buffer as long as raw_kept <= capacity (the caller checks via
-    # raw_kept and retries bigger on overflow).
-    raw_kept = jnp.sum(keep).astype(jnp.int32)
-    nw = keep.shape[0]
-    pos = lax.broadcasted_iota(jnp.int32, (nw, 1), 0)[:, 0]
-    rank = jnp.where(keep, pos, jnp.int32(0x7FFFFFFF))
-    k_top = min(capacity, nw)
-    neg_rank, idx = lax.top_k(-rank, k_top)
-    kept_valid = neg_rank != -0x7FFFFFFF
-    words = [jnp.where(kept_valid, canon[q][idx], SENTINEL)
+    return _finish_sketch(canon, keep, capacity)
+
+
+def _finish_sketch(canon, keep, capacity: int) -> SketchBatch:
+    """Compact kept windows -> sort -> adjacent-unique -> SketchBatch.
+
+    Compaction: scatters serialize on TPU, full sorts are O(n log n) on
+    4-word keys, and a single top_k(n, capacity) was the dominant fusion
+    (1.6 ms for 2M windows) — so chunk the window axis and run a much
+    cheaper per-chunk top_k with k = capacity / n_chunks.  A chunk can
+    theoretically exceed its share (FracMinHash survivors are i.i.d.
+    uniform, so chunk counts concentrate hard around mean); overflow is
+    detected exactly and reported via raw_kept > capacity, which makes the
+    caller retry at double capacity — correctness never depends on the
+    concentration, only speed does."""
+    src, slot_valid, raw_kept = _compact_chunked(keep, capacity)
+    words = [jnp.where(slot_valid, canon[q][src], SENTINEL)
              for q in range(KEY_WORDS)]
-    if k_top < capacity:
-        pad = jnp.full((capacity - k_top,), SENTINEL)
-        words = [jnp.concatenate([w, pad]) for w in words]
     # sort only the small buffer to establish the sorted-unique invariant
     words, _ = _sort_rows(words)
 
@@ -90,6 +119,71 @@ def sketch_core(codes, run_id, mask_words, *, window: int, salt,
     count = jnp.sum(uniq).astype(jnp.int32)
     keys = jnp.stack(_compact_unique(words, uniq, idx), axis=-1)
     return SketchBatch(keys=keys, count=count, raw_kept=raw_kept)
+
+
+def sketch_batch(codes, run_id, mask_words, *, window: int, salt: int,
+                 scale: int, variant: str, capacity: int) -> SketchBatch:
+    """Batched sketch step: codes/run_id (G, n) -> SketchBatch with leading
+    G axis.  On TPU the genome batch rides the Pallas extract kernel's grid
+    (one dispatch for the whole batch — per-call overhead through the
+    runtime was comparable to the compute itself); elsewhere it is a plain
+    vmap of sketch_core.  Not jitted: compose under jit/shard_map."""
+    if (jax.default_backend() == "tpu" and not _PALLAS_SORT_DISABLED
+            and codes.ndim == 2):
+        from .pallas.extract import extract_filter_windows_batched
+        canon, keep = extract_filter_windows_batched(
+            codes, run_id, mask_words, window=window, salt=salt, scale=scale,
+            variant=variant)
+        return jax.vmap(lambda c0, c1, c2, c3, k: _finish_sketch(
+            (c0, c1, c2, c3), k, capacity))(*canon, keep)
+    fn = functools.partial(sketch_core, window=window, salt=salt, scale=scale,
+                           variant=variant, capacity=capacity)
+    return jax.vmap(fn, in_axes=(0, 0, None))(codes, run_id, mask_words)
+
+
+_CHUNK_WINDOWS = 32768
+
+
+def _compact_chunked(keep, capacity: int):
+    """Indices of kept windows, compacted chunk-locally.
+
+    Splits the window axis into power-of-two chunks and takes the first
+    (capacity / n_chunks) kept positions of each with a per-chunk top_k.
+    Returns (src (capacity,) int32 indices into keep, slot_valid
+    (capacity,) bool, raw_kept int32) where raw_kept > capacity signals the
+    caller to retry with a larger capacity — either a true global overflow
+    or a chunk exceeding its share."""
+    nw = keep.shape[0]
+    ch = max(1, min(nw // _CHUNK_WINDOWS,
+                    capacity // 256 if capacity >= 256 else 1))
+    ch = 1 << (ch.bit_length() - 1)              # power of two
+    k = capacity // ch
+    csz = (nw + ch - 1) // ch
+    pad = ch * csz - nw
+    keep_p = jnp.concatenate([keep, jnp.zeros((pad,), keep.dtype)]) \
+        if pad else keep
+    grid = keep_p.reshape(ch, csz)
+
+    pos = lax.broadcasted_iota(jnp.int32, (ch, csz), 1)
+    rank = jnp.where(grid, pos, jnp.int32(0x7FFFFFFF))
+    kk = min(k, csz)                             # tiny inputs: chunk < share
+    neg, idx = lax.top_k(-rank, kk)              # (ch, kk), ascending rank
+    valid = neg != -0x7FFFFFFF
+    base = lax.broadcasted_iota(jnp.int32, (ch, kk), 0) * csz
+    src = (idx + base).reshape(ch * kk)
+    slot_valid = valid.reshape(ch * kk)
+    if ch * kk < capacity:
+        fill = capacity - ch * kk
+        src = jnp.concatenate([src, jnp.zeros((fill,), jnp.int32)])
+        slot_valid = jnp.concatenate(
+            [slot_valid, jnp.zeros((fill,), jnp.bool_)])
+
+    counts = jnp.sum(grid, axis=1).astype(jnp.int32)
+    total = jnp.sum(counts)
+    overflow = jnp.any(counts > kk)
+    raw_kept = jnp.where(overflow,
+                         jnp.maximum(total, jnp.int32(capacity + 1)), total)
+    return jnp.minimum(src, nw - 1), slot_valid, raw_kept
 
 
 def _compact_unique(words, uniq, idx):

@@ -16,15 +16,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.sketch import SketchBatch, sketch_core
+from ..ops.sketch import SketchBatch, sketch_batch
 from .mesh import data_spec, pad_to_multiple
 
 
 def _batch_sketch(codes, run_ids, mask_words, *, window, salt, scale,
                   variant, capacity):
-    fn = functools.partial(sketch_core, window=window, salt=salt, scale=scale,
-                           variant=variant, capacity=capacity)
-    return jax.vmap(fn, in_axes=(0, 0, None))(codes, run_ids, mask_words)
+    return sketch_batch(codes, run_ids, mask_words, window=window, salt=salt,
+                        scale=scale, variant=variant, capacity=capacity)
 
 
 def sharded_sketch_fn(mesh: Mesh, *, window: int, salt: int, scale: int,

@@ -1,0 +1,37 @@
+"""Pallas bitonic 128-bit sort vs numpy lexsort (interpret mode on CPU)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spaced_kmer_sketching_tpu.ops.pallas.sort import bitonic_sort_128
+
+
+def lexsorted(keys):
+    order = np.lexsort((keys[:, 0], keys[:, 1], keys[:, 2], keys[:, 3]))
+    return keys[order]
+
+
+@pytest.mark.parametrize("n", [1024, 4096])
+def test_random_keys(n):
+    rng = np.random.default_rng(n)
+    keys = rng.integers(0, 2 ** 32, size=(n, 4), dtype=np.uint64).astype(
+        np.uint32)
+    out = np.asarray(bitonic_sort_128(jnp.asarray(keys), interpret=True))
+    np.testing.assert_array_equal(out, lexsorted(keys))
+
+
+def test_duplicates_and_sentinels():
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2 ** 32, size=(2048, 4), dtype=np.uint64).astype(
+        np.uint32)
+    keys[::3] = keys[1]                      # heavy duplication
+    keys[-100:] = 0xFFFFFFFF                 # sentinel padding
+    keys[:50, 2:] = 0                        # low-entropy high words
+    out = np.asarray(bitonic_sort_128(jnp.asarray(keys), interpret=True))
+    np.testing.assert_array_equal(out, lexsorted(keys))
+
+
+def test_rejects_bad_shapes():
+    with pytest.raises(AssertionError):
+        bitonic_sort_128(jnp.zeros((1000, 4), jnp.uint32), interpret=True)
