@@ -35,6 +35,8 @@ def main() -> int:
                          "allpairs: G x G ANI matrix throughput")
     ap.add_argument("--genomes", type=int, default=128,
                     help="G for --mode allpairs")
+    ap.add_argument("--batch", type=int, default=8,
+                    help="genomes per device dispatch in --mode sketch")
     args = ap.parse_args()
     if args.iters < 1:
         ap.error("--iters must be >= 1")
@@ -45,10 +47,12 @@ def main() -> int:
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from spaced_kmer_sketching_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from spaced_kmer_sketching_tpu.ops.extract import run_ids_from_lens
-    from spaced_kmer_sketching_tpu.ops.sketch import sketch_from_codes
+    from spaced_kmer_sketching_tpu.ops.sketch import jitted_sketch_batch
     from spaced_kmer_sketching_tpu.utils import boosthash, native
     from spaced_kmer_sketching_tpu.utils.masks import spaced_seed_mask
 
@@ -56,46 +60,45 @@ def main() -> int:
         return bench_allpairs(args)
 
     window, k, scale = args.window, args.k, args.scale
-    n = args.nt
+    n, g = args.nt, args.batch
     mask = spaced_seed_mask(window, k, 0)
     salt = boosthash.fmh_salt(mask.lo, mask.hi, window, 1, "modern")
     rng = np.random.default_rng(0)
-    codes = rng.integers(0, 4, n).astype(np.uint32)
-    run_id = run_ids_from_lens([n], n)
+    codes = rng.integers(0, 4, (g, n)).astype(np.uint32)
+    run_id = np.stack([run_ids_from_lens([n], n)] * g)
     capacity = 1 << max(10, (max(1, 2 * n // scale)).bit_length())
 
     dev_codes = jnp.asarray(codes)
     dev_rid = jnp.asarray(run_id)
     dev_mask = jnp.asarray(mask.words_u32)
+    fn = jitted_sketch_batch(window, salt, scale, "modern", capacity)
 
     def step():
-        return sketch_from_codes(dev_codes, dev_rid, dev_mask, window=window,
-                                 salt=salt, scale=scale, variant="modern",
-                                 capacity=capacity)
+        return fn(dev_codes, dev_rid, dev_mask)
 
     out = step()                      # compile + warm
     jax.block_until_ready(out)
-    assert int(out.raw_kept) <= capacity
+    assert int(np.asarray(out.raw_kept).max()) <= capacity
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = step()
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / args.iters
-    windows = n - window + 1
+    windows = g * (n - window + 1)
     tpu_rate = windows / dt
 
     # --- CPU baseline: native C++ scalar pipeline on the same input --------
     cpu_rate = None
     if native.available():
         runs_lens = np.array([n], dtype=np.int64)
-        codes8 = codes.astype(np.uint8)
+        codes8 = codes[0].astype(np.uint8)       # scalar path: one genome
         reps = 3
         t0 = time.perf_counter()
         for _ in range(reps):
             native.sketch_codes(codes8, runs_lens, mask.lo, mask.hi,
                                 window, salt, scale, False)
         cpu_dt = (time.perf_counter() - t0) / reps
-        cpu_rate = windows / cpu_dt
+        cpu_rate = (n - window + 1) / cpu_dt
 
     result = {
         "metric": "spaced_kmers_per_s_per_chip",
@@ -105,8 +108,8 @@ def main() -> int:
         "baseline_cpu_scalar_windows_per_s": round(cpu_rate, 1) if cpu_rate else None,
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
-        "nt": n, "window": window, "k": k, "scale": scale,
-        "sketch_count": int(out.count),
+        "nt": n, "batch": g, "window": window, "k": k, "scale": scale,
+        "sketch_count": int(np.asarray(out.count)[0]),
         "step_ms": round(dt * 1e3, 3),
     }
     print(json.dumps(result))

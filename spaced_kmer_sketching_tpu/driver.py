@@ -129,6 +129,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         os.environ["JAX_PLATFORMS"] = args.platform
         import jax
         jax.config.update("jax_platforms", args.platform)
+    from .utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
 
     base = SketchConfig(
         window=args.window or 10, k=args.k or 10, scale=args.scale,

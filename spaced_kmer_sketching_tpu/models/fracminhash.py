@@ -129,14 +129,67 @@ class FracMinHashSketcher:
         return self.sketch_packed(packed, name=path)
 
     def sketch_files(self, paths: Sequence[str], max_workers: int = 8) -> List[Sketch]:
-        """Genome-level data parallelism: host threads feed the chip
-        (replaces the reference's cilk_for over files, src/kmer_set.cpp:124)."""
+        """Genome-level data parallelism: host threads parse/pack while the
+        chip sketches (replaces the reference's cilk_for over files,
+        src/kmer_set.cpp:124); genomes sharing a padded shape go through the
+        device in one batched dispatch."""
         with span("sketching", log):
             packed = {}
             with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
                 for p, pk in zip(paths, ex.map(read_fasta, paths)):
                     packed[p] = pk
-            return [self.sketch_packed(packed[p], name=p) for p in paths]
+            return self.sketch_packed_batch([packed[p] for p in paths],
+                                            names=list(paths))
+
+    def sketch_packed_batch(self, packed_list: Sequence[PackedSeqs],
+                            names: Optional[Sequence[str]] = None
+                            ) -> List[Sketch]:
+        """Sketch many genomes, batching same-shaped ones per dispatch."""
+        from ..ops.sketch import jitted_sketch_batch
+        cfg = self.config
+        names = names or [""] * len(packed_list)
+        out: List[Optional[Sketch]] = [None] * len(packed_list)
+        groups = {}
+        for i, pk in enumerate(packed_list):
+            nwin = pk.total_windows(cfg.window)
+            if nwin <= 0:
+                out[i] = Sketch(keys=np.empty((0, 4), np.uint32), count=0,
+                                window=cfg.window, mask=self.mask,
+                                name=names[i])
+                continue
+            n = _bucket_size(int(pk.codes.size) + cfg.window)
+            groups.setdefault(n, []).append((i, pk, nwin))
+
+        for n, members in groups.items():
+            g = len(members)
+            codes = np.zeros((g, n), dtype=np.uint32)
+            run_id = np.full((g, n), _PAD_RUN, dtype=np.int32)
+            for j, (_, pk, _) in enumerate(members):
+                t = pk.codes.size
+                codes[j, :t] = pk.codes
+                pos = 0
+                for rid, ln in enumerate(pk.run_lens):
+                    run_id[j, pos:pos + int(ln)] = rid
+                    pos += int(ln)
+            capacity = max(cfg.capacity_for(nw) for _, _, nw in members)
+            dc, dr = jnp.asarray(codes), jnp.asarray(run_id)
+            while True:
+                fn = jitted_sketch_batch(cfg.window, self.salt, cfg.scale,
+                                         cfg.hash_variant, capacity)
+                res = fn(dc, dr, self._mask_words)
+                raw = int(np.asarray(res.raw_kept).max())
+                if raw <= capacity:
+                    break
+                capacity = 1 << math.ceil(math.log2(raw + 1))
+                log.info("batched sketch overflow -> retry cap=%d", capacity)
+            keys = np.asarray(res.keys)
+            counts = np.asarray(res.count)
+            for j, (i, _, _) in enumerate(members):
+                c = int(counts[j])
+                out[i] = Sketch(keys=keys[j, :c].copy(), count=c,
+                                window=cfg.window, mask=self.mask,
+                                name=names[i])
+        return out  # type: ignore[return-value]
 
     # ---- pairwise / all-pairs ANI ------------------------------------------------
     def stack_sketches(self, sketches: Sequence[Sketch], cap: Optional[int] = None):

@@ -54,21 +54,8 @@ def _slide(x, j: int):
     return jnp.where(lane < LANES - j, a, b)
 
 
-def _kernel(codes_hbm, rid_hbm, mask_ref, o0, o1, o2, o3, okeep,
-            codes_s, rid_s, sems, *, window: int, salt: int, scale: int,
-            variant: str):
-    g = pl.program_id(0)            # genome (batch) index
-    b = pl.program_id(1)            # window-block index
-    row0 = pl.multiple_of(b * BROWS, BROWS)
-    cp_c = pltpu.make_async_copy(codes_hbm.at[g, pl.ds(row0, HALO_ROWS)],
-                                 codes_s, sems.at[0])
-    cp_r = pltpu.make_async_copy(rid_hbm.at[g, pl.ds(row0, HALO_ROWS)],
-                                 rid_s, sems.at[1])
-    cp_c.start()
-    cp_r.start()
-    cp_c.wait()
-    cp_r.wait()
-
+def _extract_block(codes_s, rid_s, mask_ref, *, window, salt, scale, variant):
+    """Shared kernel body: canonical masked keys + keep mask for one block."""
     codes = codes_s[:]
     fw = [jnp.zeros((HALO_ROWS, LANES), jnp.uint32) for _ in range(KEY_WORDS)]
     rw = [jnp.zeros((HALO_ROWS, LANES), jnp.uint32) for _ in range(KEY_WORDS)]
@@ -92,8 +79,73 @@ def _kernel(codes_hbm, rid_hbm, mask_ref, o0, o1, o2, o3, okeep,
     valid = (rid_a == rid_b) & (rid_a >= 0)
     keep = valid & u64ops.fmh_keep(*canon, salt=salt, scale=scale,
                                    variant=variant)
+    return canon, keep
+
+
+def _start_dma(codes_hbm, rid_hbm, codes_s, rid_s, sems):
+    g = pl.program_id(0)            # genome (batch) index
+    b = pl.program_id(1)            # window-block index
+    row0 = pl.multiple_of(b * BROWS, BROWS)
+    cp_c = pltpu.make_async_copy(codes_hbm.at[g, pl.ds(row0, HALO_ROWS)],
+                                 codes_s, sems.at[0])
+    cp_r = pltpu.make_async_copy(rid_hbm.at[g, pl.ds(row0, HALO_ROWS)],
+                                 rid_s, sems.at[1])
+    cp_c.start()
+    cp_r.start()
+    cp_c.wait()
+    cp_r.wait()
+
+
+def _kernel(codes_hbm, rid_hbm, mask_ref, o0, o1, o2, o3, okeep,
+            codes_s, rid_s, sems, *, window: int, salt: int, scale: int,
+            variant: str):
+    _start_dma(codes_hbm, rid_hbm, codes_s, rid_s, sems)
+    canon, keep = _extract_block(codes_s, rid_s, mask_ref, window=window,
+                                 salt=salt, scale=scale, variant=variant)
     o0[0], o1[0], o2[0], o3[0] = canon
     okeep[0] = keep.astype(jnp.uint32)
+
+
+def _lane_cumsum(x):
+    """Inclusive cumsum along lanes (axis 1) of an (R, 128) int32 array —
+    Hillis-Steele with lane rolls."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    for sh in (1, 2, 4, 8, 16, 32, 64):
+        shifted = pltpu.roll(x, sh, 1)
+        x = x + jnp.where(lane >= sh, shifted, 0)
+    return x
+
+
+def _compact_kernel(codes_hbm, rid_hbm, mask_ref, ow0, ow1, ow2, ow3, ocnt,
+                    codes_s, rid_s, sems, *, window: int, salt: int,
+                    scale: int, variant: str, k_slots: int):
+    """Extract + filter + per-row compaction: each 128-window row emits its
+    first `k_slots` surviving keys (slot s = the (s+1)-th kept window of the
+    row, located via a lane cumsum + one-hot reduction).  Rows with more
+    than k_slots survivors are detected outside via the emitted row counts
+    (the caller retries at a larger capacity -> larger k_slots)."""
+    _start_dma(codes_hbm, rid_hbm, codes_s, rid_s, sems)
+    canon, keep = _extract_block(codes_s, rid_s, mask_ref, window=window,
+                                 salt=salt, scale=scale, variant=variant)
+    cum = _lane_cumsum(keep.astype(jnp.int32))       # (BROWS, 128)
+    rowcnt = jnp.max(cum, axis=1, keepdims=True)     # = cum[:, -1]
+    # Mosaic lacks unsigned reductions (and 1-D bitcasts); summing the
+    # one-hot selection in int32 is bit-identical (exactly one non-zero
+    # term per row), so bitcast 2-D planes in and back out.
+    canon_i = [pltpu.bitcast(c, jnp.int32) for c in canon]
+    slots = [[] for _ in range(KEY_WORDS)]
+    for s in range(k_slots):
+        ind = (cum == s + 1) & keep                  # one-hot per row
+        for q in range(KEY_WORDS):
+            slots[q].append(
+                jnp.sum(jnp.where(ind, canon_i[q], 0), axis=1,
+                        keepdims=True))              # (BROWS, 1) int32
+    svalid = jax.lax.broadcasted_iota(
+        jnp.int32, (BROWS, k_slots), 1) < rowcnt
+    for q, oref in enumerate((ow0, ow1, ow2, ow3)):
+        w = pltpu.bitcast(jnp.concatenate(slots[q], axis=1), jnp.uint32)
+        oref[0] = jnp.where(svalid, w, jnp.uint32(0xFFFFFFFF))
+    ocnt[0] = rowcnt.astype(jnp.int32)
 
 
 @functools.partial(jax.jit,
@@ -156,3 +208,67 @@ def extract_filter_windows(codes, run_id, mask_words, *, window: int,
         codes[None], run_id[None], mask_words, window=window, salt=salt,
         scale=scale, variant=variant, interpret=interpret)
     return tuple(c[0] for c in canon), keep[0]
+
+
+def _pad_batch(codes, run_id, window):
+    g, n = codes.shape
+    nw = n - window + 1
+    nwp = ((nw + BLOCK - 1) // BLOCK) * BLOCK
+    need = nwp + HALO_ROWS * LANES - BLOCK
+    pad = need - n
+    if pad > 0:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((g, pad), codes.dtype)], axis=1)
+        run_id = jnp.concatenate(
+            [run_id, jnp.full((g, pad), -1, run_id.dtype)], axis=1)
+    return (codes.astype(jnp.uint32).reshape(g, -1, LANES),
+            run_id.reshape(g, -1, LANES), nw, nwp)
+
+
+def extract_compact_windows_batched(codes, run_id, mask_words, *,
+                                    window: int, salt: int, scale: int,
+                                    variant: str, k_slots: int,
+                                    interpret: bool = False):
+    """codes/run_id (G, n) -> (words 4 x (G, M) uint32 candidate key lanes
+    with all-ones fill, rowcnt (G, R) int32 true per-row survivor counts),
+    M = R * k_slots, R = padded-window-count / 128.
+
+    Fused extract + filter + per-row compaction: the dominant costs of the
+    sketch step (XLA lowers top_k to a full sort on TPU) collapse into the
+    extraction kernel itself.  A row (128 consecutive windows) emits its
+    first k_slots survivors; rows exceeding k_slots are detected via rowcnt
+    by the caller, which retries with a larger capacity."""
+    assert window <= 64, "window exceeds MAX_KMER_LENGTH"
+    g = codes.shape[0]
+    codes2, rid2, nw, nwp = _pad_batch(codes, run_id, window)
+    rows = nwp // LANES
+
+    kern = functools.partial(_compact_kernel, window=window, salt=salt,
+                             scale=scale, variant=variant, k_slots=k_slots)
+    word_shape = jax.ShapeDtypeStruct((g, rows, k_slots), jnp.uint32)
+    outs = pl.pallas_call(
+        kern,
+        grid=(g, nwp // BLOCK),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, KEY_WORDS), lambda gi, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            [pl.BlockSpec((1, BROWS, k_slots), lambda gi, b: (gi, b, 0),
+                          memory_space=pltpu.VMEM)] * 4
+            + [pl.BlockSpec((1, BROWS, 1), lambda gi, b: (gi, b, 0),
+                            memory_space=pltpu.VMEM)]),
+        out_shape=[word_shape] * 4 + [
+            jax.ShapeDtypeStruct((g, rows, 1), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((HALO_ROWS, LANES), jnp.uint32),
+            pltpu.VMEM((HALO_ROWS, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(codes2, rid2, mask_words.reshape(1, KEY_WORDS))
+    words = [o.reshape(g, rows * k_slots) for o in outs[:4]]
+    rowcnt = outs[4].reshape(g, rows)
+    return words, rowcnt, nw

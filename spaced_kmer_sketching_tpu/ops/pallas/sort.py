@@ -77,18 +77,140 @@ def _sort_kernel(n: int, w0, w1, w2, w3, o0, o1, o2, o3):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def bitonic_sort_128(keys, interpret: bool = False):
-    """Sort (N, 4) uint32 128-bit rows ascending; N a power of two >= 256
-    and a multiple of 1024 (so planes are (N/128, 128))."""
+    """Sort (N, 4) uint32 128-bit rows ascending; N a power of two >= 1024.
+
+    N <= TILE_ELEMS runs as one unrolled bitonic network.  Larger N uses a
+    tiled merge sort — Mosaic compile time scales with the unrolled pass
+    count times the array size, and a monolithic 131k-row network took >8
+    minutes to compile: tiles sort in parallel grid steps with alternating
+    directions, then log2(T) small merge-round kernels combine them."""
     n = keys.shape[0]
     assert n & (n - 1) == 0 and n >= 1024, "N must be a power of two >= 1024"
     r = n // LANES
     planes = [keys[:, q].reshape(r, LANES) for q in range(KEY_WORDS)]
-    kern = functools.partial(_sort_kernel, n)
-    outs = pl.pallas_call(
-        kern,
+    if n <= TILE_ELEMS:
+        kern = functools.partial(_sort_kernel, n)
+        outs = pl.pallas_call(
+            kern,
+            out_shape=[jax.ShapeDtypeStruct((r, LANES),
+                                            jnp.uint32)] * KEY_WORDS,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * KEY_WORDS,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * KEY_WORDS,
+            interpret=interpret,
+        )(*planes)
+    else:
+        outs = _tile_sort(planes, interpret)
+        lr = TILE_ROWS
+        while lr < r:
+            outs = _merge_round(outs, lr, interpret)
+            lr *= 2
+    return jnp.stack([o.reshape(n) for o in outs], axis=-1)
+
+
+TILE_ROWS = 256
+TILE_ELEMS = TILE_ROWS * LANES          # 32768
+
+
+def _tile_sort_kernel(force_asc: bool, w0, w1, w2, w3, o0, o1, o2, o3):
+    """Full bitonic sort of one tile; unless force_asc, direction alternates
+    with grid id so adjacent tiles form bitonic sequences for the merges."""
+    x = [w0[:], w1[:], w2[:], w3[:]]
+    shape = x[0].shape
+    row = lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = lax.broadcasted_iota(jnp.int32, shape, 1)
+    flat = row * LANES + lane
+    desc = jnp.bool_(False) if force_asc else (pl.program_id(0) % 2) == 1
+    stages = TILE_ELEMS.bit_length() - 1
+    for k in range(1, stages + 1):
+        asc = ((flat & (1 << k)) == 0) != desc
+        for j in range(k - 1, -1, -1):
+            d = 1 << j
+            p = [_partner(w, d) for w in x]
+            x_lt_p = _lex_lt(x, p)
+            lower = (flat & d) == 0
+            want_x = (lower == asc) == x_lt_p
+            x = [jnp.where(want_x, xi, pi) for xi, pi in zip(x, p)]
+    o0[:], o1[:], o2[:], o3[:] = x
+
+
+def _tile_sort(planes, interpret, force_asc=False):
+    r = planes[0].shape[0]
+    t = r // TILE_ROWS
+    return pl.pallas_call(
+        functools.partial(_tile_sort_kernel, force_asc),
+        grid=(t,),
+        in_specs=[pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * KEY_WORDS,
+        out_specs=[pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * KEY_WORDS,
         out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.uint32)] * KEY_WORDS,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * KEY_WORDS,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * KEY_WORDS,
         interpret=interpret,
     )(*planes)
-    return jnp.stack([o.reshape(n) for o in outs], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "interpret"))
+def sort_truncate_128(keys, capacity: int, interpret: bool = False):
+    """Sort (M, 4) rows and return the per-tile smallest capacity of them,
+    globally sorted ascending: per-tile ascending sorts -> truncate each of
+    the T tiles to capacity/T slots -> reverse odd runs -> bitonic merge
+    rounds.  EXACT whenever every tile holds <= capacity/T non-sentinel
+    rows (the caller checks tile occupancy and retries otherwise) — the
+    use case is compacting a sparse sentinel-padded candidate array where
+    sorting the full M rows wastes the sort on fill."""
+    m = keys.shape[0]
+    t = m // TILE_ELEMS
+    cut = capacity // t
+    assert m % TILE_ELEMS == 0 and t >= 2, "need >= 2 full tiles"
+    assert cut >= LANES and cut % LANES == 0 and capacity % t == 0
+    planes = [keys[:, q].reshape(m // LANES, LANES) for q in range(KEY_WORDS)]
+    planes = _tile_sort(planes, interpret, force_asc=True)
+
+    outs = []
+    for pplane in planes:
+        runs = pplane.reshape(t, TILE_ELEMS)[:, :cut]     # keep tile minima
+        rev = runs[:, ::-1]
+        parity = (lax.broadcasted_iota(jnp.int32, (t, 1), 0) % 2) == 1
+        outs.append(jnp.where(parity, rev, runs).reshape(capacity // LANES,
+                                                         LANES))
+    lr = cut // LANES
+    while lr < capacity // LANES:
+        outs = _merge_round(outs, lr, interpret)
+        lr *= 2
+    return jnp.stack([o.reshape(capacity) for o in outs], axis=-1)
+
+
+def _merge_round_kernel(lr: int, final: bool, w0, w1, w2, w3,
+                        o0, o1, o2, o3):
+    """Bitonic merge of adjacent (asc, desc) run pairs of lr rows each into
+    a 2*lr-row run, direction by grid-id parity (ascending when final)."""
+    x = [w0[:], w1[:], w2[:], w3[:]]
+    shape = x[0].shape
+    row = lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = lax.broadcasted_iota(jnp.int32, shape, 1)
+    flat = row * LANES + lane
+    asc = jnp.full(shape, True) if final else (pl.program_id(0) % 2) == 0
+    d = lr * LANES
+    while d >= 1:
+        p = [_partner(w, d) for w in x]
+        x_lt_p = _lex_lt(x, p)
+        lower = (flat & d) == 0
+        want_x = (lower == asc) == x_lt_p
+        x = [jnp.where(want_x, xi, pi) for xi, pi in zip(x, p)]
+        d //= 2
+    o0[:], o1[:], o2[:], o3[:] = x
+
+
+def _merge_round(planes, lr: int, interpret):
+    r = planes[0].shape[0]
+    blocks = r // (2 * lr)
+    kern = functools.partial(_merge_round_kernel, lr, blocks == 1)
+    return pl.pallas_call(
+        kern,
+        grid=(blocks,),
+        in_specs=[pl.BlockSpec((2 * lr, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * KEY_WORDS,
+        out_specs=[pl.BlockSpec((2 * lr, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * KEY_WORDS,
+        out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.uint32)] * KEY_WORDS,
+        interpret=interpret,
+    )(*planes)

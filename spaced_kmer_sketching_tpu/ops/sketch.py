@@ -121,24 +121,115 @@ def _finish_sketch(canon, keep, capacity: int) -> SketchBatch:
     return SketchBatch(keys=keys, count=count, raw_kept=raw_kept)
 
 
+def slots_for_scale(scale: int) -> int:
+    """Per-row (128-window) candidate slots for the compacting kernel:
+    survivors per row ~ Poisson(128/scale); this bound puts the chance of
+    any row overflowing (which only costs a retry, never correctness)
+    below ~1e-10 per row."""
+    lam = 128.0 / scale
+    k = int(2 * lam + 14)
+    return min(128, 1 << (k - 1).bit_length())
+
+
 def sketch_batch(codes, run_id, mask_words, *, window: int, salt: int,
                  scale: int, variant: str, capacity: int) -> SketchBatch:
     """Batched sketch step: codes/run_id (G, n) -> SketchBatch with leading
-    G axis.  On TPU the genome batch rides the Pallas extract kernel's grid
-    (one dispatch for the whole batch — per-call overhead through the
-    runtime was comparable to the compute itself); elsewhere it is a plain
-    vmap of sketch_core.  Not jitted: compose under jit/shard_map."""
+    G axis.  On TPU the whole extract+filter+compact pipeline is one Pallas
+    kernel dispatch over a (G, blocks) grid (XLA lowers top_k to a full
+    sort, which dominated the step; per-row in-kernel compaction removes
+    it); elsewhere it is a plain vmap of sketch_core.  Not jitted: compose
+    under jit/shard_map."""
     if (jax.default_backend() == "tpu" and not _PALLAS_SORT_DISABLED
             and codes.ndim == 2):
-        from .pallas.extract import extract_filter_windows_batched
-        canon, keep = extract_filter_windows_batched(
+        from .pallas.extract import extract_compact_windows_batched
+        # k_slots also grows with capacity so the overflow->retry loop
+        # terminates even on adversarial inputs (e.g. a surviving k-mer
+        # repeated across a whole row): at k_slots=128 overflow is
+        # impossible (a row has only 128 windows).
+        rows = max(1, (codes.shape[1] - window + 1 + 127) // 128)
+        grow = 1 << max(0, (4 * capacity // rows - 1).bit_length())
+        k_slots = min(128, max(slots_for_scale(scale), grow))
+        words, rowcnt, _ = extract_compact_windows_batched(
             codes, run_id, mask_words, window=window, salt=salt, scale=scale,
-            variant=variant)
-        return jax.vmap(lambda c0, c1, c2, c3, k: _finish_sketch(
-            (c0, c1, c2, c3), k, capacity))(*canon, keep)
+            variant=variant, k_slots=k_slots)
+
+        def finish(w0, w1, w2, w3, rc):
+            return _finish_candidates([w0, w1, w2, w3], rc, k_slots, capacity)
+        return jax.vmap(finish)(*words, rowcnt)
     fn = functools.partial(sketch_core, window=window, salt=salt, scale=scale,
                            variant=variant, capacity=capacity)
     return jax.vmap(fn, in_axes=(0, 0, None))(codes, run_id, mask_words)
+
+
+@functools.lru_cache(maxsize=128)
+def jitted_sketch_batch(window: int, salt: int, scale: int, variant: str,
+                        capacity: int):
+    """Cached jitted sketch_batch for a static config (callers construct
+    partials per call; caching here keeps XLA's jit cache effective)."""
+    return jax.jit(functools.partial(sketch_batch, window=window, salt=salt,
+                                     scale=scale, variant=variant,
+                                     capacity=capacity))
+
+
+def _finish_candidates(words, rowcnt, k_slots: int, capacity: int
+                       ) -> SketchBatch:
+    """Gather the valid candidate slots into the capacity buffer (branchless
+    binary search over the per-row count cumsum — the candidate array is
+    ~scale x larger than the survivors, so sorting it directly wastes most
+    of the sort on sentinel fill), then sort + adjacent-unique + recompact.
+
+    `rowcnt` carries TRUE per-row survivor counts: a row overflowing its
+    k_slots bumps raw_kept past capacity, making the caller retry at a
+    doubled capacity (which also raises k_slots, so the retry terminates
+    even on adversarial repeat-heavy input)."""
+    from .pallas.sort import TILE_ELEMS, sort_truncate_128
+
+    rows = rowcnt.shape[0]
+    rcl = jnp.minimum(rowcnt, k_slots)
+    valid_total = jnp.sum(rcl).astype(jnp.int32)
+    m = words[0].shape[0]
+
+    # pad the candidate array to a power-of-two number of sort tiles
+    t = max(1, m // TILE_ELEMS)
+    t = 1 << (t - 1).bit_length()
+    mp = t * TILE_ELEMS
+    if mp > m:
+        fill = jnp.full((mp - m,), SENTINEL)
+        words = [jnp.concatenate([w, fill]) for w in words]
+
+    overflow = jnp.any(rowcnt > k_slots)
+    if t >= 2 and capacity // t >= 128 and capacity <= mp:
+        # per-tile sort + truncate-to-share + merge; a tile holding more
+        # valid candidates than its capacity/t share triggers a retry
+        rows_per_tile = TILE_ELEMS // k_slots
+        rcl_p = jnp.concatenate(
+            [rcl, jnp.zeros((t * rows_per_tile - rows,), rcl.dtype)]) \
+            if t * rows_per_tile != rows else rcl
+        tile_valid = jnp.sum(rcl_p.reshape(t, rows_per_tile), axis=1)
+        overflow = overflow | jnp.any(tile_valid > capacity // t)
+        keys4 = sort_truncate_128(jnp.stack(words, axis=-1), capacity)
+        buf = [keys4[:, q] for q in range(KEY_WORDS)]
+    else:
+        buf, _ = _sort_rows(words)
+        if mp >= capacity:
+            buf = [w[:capacity] for w in buf]
+        else:
+            tail = jnp.full((capacity - mp,), SENTINEL)
+            buf = [jnp.concatenate([w, tail]) for w in buf]
+
+    total = jnp.sum(rowcnt).astype(jnp.int32)
+    raw_kept = jnp.where(overflow,
+                         jnp.maximum(total, jnp.int32(capacity + 1)), total)
+
+    idx = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    neq_prev = jnp.zeros((capacity,), jnp.bool_)
+    for q in range(KEY_WORDS):
+        neq_prev = neq_prev | (buf[q] != jnp.roll(buf[q], 1))
+    uniq = (idx < jnp.minimum(valid_total, capacity)) & \
+        ((idx == 0) | neq_prev)
+    count = jnp.sum(uniq).astype(jnp.int32)
+    keys = jnp.stack(_compact_unique(buf, uniq, idx), axis=-1)
+    return SketchBatch(keys=keys, count=count, raw_kept=raw_kept)
 
 
 _CHUNK_WINDOWS = 32768
@@ -187,14 +278,14 @@ def _compact_chunked(keep, capacity: int):
 
 
 def _compact_unique(words, uniq, idx):
-    """Compact rows flagged `uniq` to the front, preserving sorted order —
-    top_k over ranks + gather, NOT another 4-lane sort (the sort was ~half
-    the sketch step's runtime on TPU)."""
-    capacity = uniq.shape[0]
-    rank = jnp.where(uniq, idx, jnp.int32(0x7FFFFFFF))
-    neg, take = lax.top_k(-rank, capacity)   # ascending rank order
-    ok = neg != -0x7FFFFFFF
-    return [jnp.where(ok, w[take], SENTINEL) for w in words]
+    """Compact rows flagged `uniq` to the front, preserving sorted order:
+    sentinel the duplicates and re-sort the (small) capacity buffer.  On
+    TPU the sort is the Pallas bitonic kernel; top_k is avoided everywhere
+    on the hot path because XLA lowers it to a full sort."""
+    del idx
+    words = [jnp.where(uniq, w, SENTINEL) for w in words]
+    words, _ = _sort_rows(words)
+    return words
 
 
 @functools.partial(jax.jit, static_argnames=("window", "salt", "scale",

@@ -1,0 +1,95 @@
+"""Pallas fused extract kernels (interpret mode) vs the jnp reference path."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from spaced_kmer_sketching_tpu.ops import u64ops
+from spaced_kmer_sketching_tpu.ops.extract import (extract_windows,
+                                                   run_ids_from_lens)
+from spaced_kmer_sketching_tpu.ops.pallas.extract import (
+    extract_compact_windows_batched, extract_filter_windows_batched)
+from spaced_kmer_sketching_tpu.utils import boosthash
+from spaced_kmer_sketching_tpu.utils.masks import spaced_seed_mask
+
+
+def ref_keep(codes, rid, mask, window, salt, scale, variant="modern"):
+    canon, valid = extract_windows(jnp.asarray(codes), jnp.asarray(rid),
+                                   window, jnp.asarray(mask.words_u32))
+    keep = valid & u64ops.fmh_keep(*canon, salt=salt, scale=scale,
+                                   variant=variant)
+    return [np.asarray(c) for c in canon], np.asarray(keep)
+
+
+def setup(window, k, scale, n, seed=0, runs=None):
+    mask = spaced_seed_mask(window, k, seed)
+    salt = boosthash.fmh_salt(mask.lo, mask.hi, window, 1, "modern")
+    rng = np.random.default_rng(seed + n)
+    codes = rng.integers(0, 4, n).astype(np.uint32)
+    rid = run_ids_from_lens(runs or [n], n)
+    return mask, salt, codes, rid
+
+
+@pytest.mark.parametrize("window,k,scale,n",
+                         [(20, 16, 20, 6000), (31, 17, 5, 4096)])
+def test_filter_kernel_matches_reference(window, k, scale, n):
+    mask, salt, codes, rid = setup(window, k, scale, n,
+                                   runs=[n // 3, n - n // 3])
+    canon_r, keep_r = ref_keep(codes, rid, mask, window, salt, scale)
+    canon_p, keep_p = extract_filter_windows_batched(
+        jnp.asarray(codes)[None], jnp.asarray(rid)[None],
+        jnp.asarray(mask.words_u32), window=window, salt=salt, scale=scale,
+        variant="modern", interpret=True)
+    np.testing.assert_array_equal(np.asarray(keep_p[0]), keep_r)
+    m = keep_r
+    for a, b in zip(canon_p, canon_r):
+        np.testing.assert_array_equal(np.asarray(a[0])[m], b[m])
+
+
+@pytest.mark.parametrize("window,k,scale,n,k_slots",
+                         [(20, 16, 20, 6000, 32), (16, 12, 5, 4096, 64)])
+def test_compact_kernel_emits_exact_survivors(window, k, scale, n, k_slots):
+    mask, salt, codes, rid = setup(window, k, scale, n, runs=[n // 2, n - n // 2])
+    canon_r, keep_r = ref_keep(codes, rid, mask, window, salt, scale)
+
+    words, rowcnt, nw = extract_compact_windows_batched(
+        jnp.asarray(codes)[None], jnp.asarray(rid)[None],
+        jnp.asarray(mask.words_u32), window=window, salt=salt, scale=scale,
+        variant="modern", k_slots=k_slots, interpret=True)
+    assert nw == n - window + 1
+
+    # expected multiset of survivor keys (as 128-bit ints)
+    want = sorted((int(canon_r[0][i]) | int(canon_r[1][i]) << 32
+                   | int(canon_r[2][i]) << 64 | int(canon_r[3][i]) << 96)
+                  for i in np.flatnonzero(keep_r))
+    w = [np.asarray(x[0], dtype=np.uint64) for x in words]
+    got = []
+    rc = np.asarray(rowcnt[0])
+    assert (rc <= k_slots).all(), "test sized k_slots to avoid overflow"
+    for r in range(rc.size):
+        for s in range(rc[r]):
+            i = r * k_slots + s
+            got.append(int(w[0][i]) | int(w[1][i]) << 32
+                       | int(w[2][i]) << 64 | int(w[3][i]) << 96)
+    assert sorted(got) == want
+    # per-row counts must reproduce the global keep count
+    assert rc.sum() == keep_r.sum()
+
+
+def test_compact_kernel_overflow_rows_report_true_counts():
+    # poly-A region: every window identical; if that key survives the hash
+    # the whole row keeps -> rowcnt = 128 regardless of k_slots
+    window, k = 12, 8
+    mask = spaced_seed_mask(window, k, 0)
+    salt = boosthash.fmh_salt(mask.lo, mask.hi, window, 1, "modern")
+    n = 2048
+    codes = np.zeros(n, np.uint32)          # all A
+    rid = run_ids_from_lens([n], n)
+    _, keep_r = ref_keep(codes, rid, mask, window, salt, 1)  # scale 1: keep all
+    words, rowcnt, _ = extract_compact_windows_batched(
+        jnp.asarray(codes)[None], jnp.asarray(rid)[None],
+        jnp.asarray(mask.words_u32), window=window, salt=salt, scale=1,
+        variant="modern", k_slots=8, interpret=True)
+    rc = np.asarray(rowcnt[0])
+    assert rc.sum() == keep_r.sum()          # true counts, not clamped
+    assert (rc > 8).any()                    # overflow visible to caller

@@ -35,3 +35,19 @@ def test_duplicates_and_sentinels():
 def test_rejects_bad_shapes():
     with pytest.raises(AssertionError):
         bitonic_sort_128(jnp.zeros((1000, 4), jnp.uint32), interpret=True)
+
+
+def test_sort_truncate_sparse_candidates():
+    from spaced_kmer_sketching_tpu.ops.pallas.sort import (TILE_ELEMS,
+                                                           sort_truncate_128)
+    rng = np.random.default_rng(42)
+    m, capacity = 4 * TILE_ELEMS, 8192
+    keys = np.full((m, 4), 0xFFFFFFFF, dtype=np.uint32)
+    # ~1500 valid keys spread over all tiles (well under capacity/4 per tile)
+    pos = rng.choice(m, size=1500, replace=False)
+    keys[pos] = rng.integers(0, 2 ** 32, size=(1500, 4),
+                             dtype=np.uint64).astype(np.uint32)
+    out = np.asarray(sort_truncate_128(jnp.asarray(keys), capacity,
+                                       interpret=True))
+    want = lexsorted(keys)[:capacity]
+    np.testing.assert_array_equal(out, want)
