@@ -144,11 +144,27 @@ def bench_allpairs(args) -> int:
     keys = jnp.asarray(keys_np)
     counts = jnp.asarray(counts_np)
 
-    out = intersection_tile(keys, counts, keys, counts)
+    # tile the G x G matrix: one intersection_tile call per (T, T) block —
+    # the vmapped probe materializes (T, T, cap) intermediates, so T is
+    # bounded to keep the working set on-chip-friendly
+    tile = min(g, 32)
+
+    def allpairs():
+        outs = []
+        for r0 in range(0, g, tile):
+            row = []
+            for c0 in range(0, g, tile):
+                row.append(intersection_tile(
+                    keys[r0:r0 + tile], counts[r0:r0 + tile],
+                    keys[c0:c0 + tile], counts[c0:c0 + tile]))
+            outs.append(row)
+        return outs[-1][-1]
+
+    out = allpairs()
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = intersection_tile(keys, counts, keys, counts)
+        out = allpairs()
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / args.iters
     pairs = g * g
