@@ -25,7 +25,7 @@ import numpy as np
 
 from .config import SketchConfig
 from .csvout import write_to_csv
-from .generators import all_pair_indices
+from .generators import all_pair_indices, ring_pair_indices
 from .models.fracminhash import FracMinHashSketcher, Sketch
 from .observability import get_logger
 
@@ -37,7 +37,7 @@ def run_experiment(window_size: int, kmer_size: int, filenames: Sequence[str],
                    config: Optional[SketchConfig] = None,
                    sketcher: Optional[FracMinHashSketcher] = None,
                    echo_timings: bool = True,
-                   store=None) -> np.ndarray:
+                   store=None, pairing: str = "all") -> np.ndarray:
     """One (window, k) experiment over `filenames`; returns the flat ANI list
     in reference pair order (all ordered pairs incl. self, row-major).
 
@@ -60,17 +60,24 @@ def run_experiment(window_size: int, kmer_size: int, filenames: Sequence[str],
     if echo_timings:
         print(f"Time taken for sketching = {(t1 - t0) * 1e3} ms")
 
-    inter = sk.all_pairs_intersections(sketches)          # (G, G) int32
     counts = np.array([s.count for s in sketches], dtype=np.int64)
     g = len(sketches)
-    # ordered pairs row-major: pair (i, j) -> denominator |set_i|
-    ani = sk.ani_from_intersections(inter.reshape(-1),
-                                    np.repeat(counts, max(g, 1)))
+    if pairing == "ring":
+        # adjacent ring pairing (src/generators.hpp:21-34)
+        pairs = ring_pair_indices(g)
+        inter_flat = sk.intersections([sketches[i] for i, _ in pairs],
+                                      [sketches[j] for _, j in pairs])
+        ani = sk.ani_from_intersections(
+            np.asarray(inter_flat), np.array([counts[i] for i, _ in pairs]))
+    else:
+        inter = sk.all_pairs_intersections(sketches)      # (G, G) int32
+        # ordered pairs row-major: pair (i, j) -> denominator |set_i|
+        pairs = all_pair_indices(g)
+        ani = sk.ani_from_intersections(inter.reshape(-1),
+                                        np.repeat(counts, max(g, 1)))
     t2 = time.perf_counter()
     if echo_timings:
         print(f"Time taken for comparison = {(t2 - t1) * 1e3} ms")
-
-    pairs = all_pair_indices(g)
     names1 = [str(filenames[i]) for i, _ in pairs]
     names2 = [str(filenames[j]) for _, j in pairs]
     write_to_csv(names1, names2, list(map(float, ani)), window_size, sk.mask,
@@ -113,6 +120,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                         default=SketchConfig.hash_variant)
     parser.add_argument("--append", action="store_true",
                         help="append to the CSV (single-experiment mode)")
+    parser.add_argument("--pairing", choices=("all", "ring"), default="all",
+                        help="all: full ordered n^2 incl. self-pairs "
+                             "(reference main); ring: adjacent (i, i+1 mod n)")
     parser.add_argument("--store", default=None, metavar="DIR",
                         help="sketch checkpoint directory: reruns reuse "
                              "already-computed sketches")
@@ -152,7 +162,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     with ctx:
         if args.window is not None:
             run_experiment(args.window, args.k, args.fastas, args.output_csv,
-                           args.append, config=base, store=store)
+                           args.append, config=base, store=store,
+                           pairing=args.pairing)
         else:
             run_reference_sweep(args.output_csv, args.fastas, config=base,
                                 store=store)

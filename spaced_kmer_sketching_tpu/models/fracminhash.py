@@ -29,7 +29,7 @@ from ..ops.intersect import intersection_tile
 from ..ops.sketch import sketch_from_codes
 from ..utils import boosthash
 from ..utils.masks import SpacedSeedMask, spaced_seed_mask
-from ..observability import get_logger, span
+from ..observability import count as obs_count, get_logger, span
 
 log = get_logger(__name__)
 
@@ -184,11 +184,18 @@ class FracMinHashSketcher:
                 log.info("batched sketch overflow -> retry cap=%d", capacity)
             keys = np.asarray(res.keys)
             counts = np.asarray(res.count)
-            for j, (i, _, _) in enumerate(members):
+            raws = np.asarray(res.raw_kept)
+            for j, (i, pk, nw) in enumerate(members):
                 c = int(counts[j])
                 out[i] = Sketch(keys=keys[j, :c].copy(), count=c,
                                 window=cfg.window, mask=self.mask,
                                 name=names[i])
+                # parity-check counters (SURVEY.md §5)
+                obs_count("runs", int(pk.run_lens.size))
+                obs_count("windows", nw)
+                obs_count("kept_kmers", int(raws[j]))
+                obs_count("unique_kmers", c)
+            obs_count("genomes", g)
         return out  # type: ignore[return-value]
 
     # ---- pairwise / all-pairs ANI ------------------------------------------------

@@ -151,3 +151,22 @@ def test_reference_sweep_schedule():
     assert sched[1] == (11, 11, True) and sched[30] == (40, 40, True)
     assert sched[31] == (20, 10, True) and sched[61] == (50, 40, True)
     assert all(a for _, _, a in sched[1:])
+
+
+def test_ring_pairing_mode(tmp_path):
+    rng = np.random.default_rng(21)
+    base = random_genome(rng, 2000)
+    paths = [write_fasta(tmp_path / f"r{i}.fa", [g]) for i, g in enumerate(
+        [base, mutate(rng, base, 0.04), random_genome(rng, 2000)])]
+    cfg = SketchConfig(window=12, k=8, scale=5)
+    out = str(tmp_path / "ring.csv")
+    ani = run_experiment(12, 8, paths, out, False, config=cfg,
+                         echo_timings=False, pairing="ring")
+    lines = open(out).read().splitlines()
+    assert len(lines) == 1 + 3           # ring: n pairs for n genomes
+    # pair order (0,1),(1,2),(2,0) per generators.hpp:21-34
+    assert lines[1].split(",")[:2] == [paths[0], paths[1]]
+    assert lines[3].split(",")[:2] == [paths[2], paths[0]]
+    # values match the all-pairs run's corresponding entries
+    full = oracle_experiment(paths, 12, 8, 5).reshape(3, 3)
+    np.testing.assert_array_equal(ani, [full[0, 1], full[1, 2], full[2, 0]])
