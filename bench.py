@@ -23,7 +23,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None,
                     help="override JAX platform (default: env, i.e. TPU)")
-    ap.add_argument("--nt", type=int, default=1 << 22,
+    ap.add_argument("--nt", type=int, default=1 << 21,
                     help="genome length in nucleotides")
     ap.add_argument("--iters", type=int, default=8, metavar="I",
                     help="steady-state timing iterations (>= 1)")

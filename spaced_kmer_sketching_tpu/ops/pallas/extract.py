@@ -54,8 +54,10 @@ def _slide(x, j: int):
     return jnp.where(lane < LANES - j, a, b)
 
 
-def _extract_block(codes_s, rid_s, mask_ref, *, window, salt, scale, variant):
-    """Shared kernel body: canonical masked keys + keep mask for one block."""
+def _extract_block(codes_s, rid_s, mask_vals, *, window, salt, scale,
+                   variant):
+    """Shared kernel body: canonical masked keys + keep mask for one block.
+    mask_vals: 4 scalar uint32 mask lanes; salt: static int or scalar pair."""
     codes = codes_s[:]
     fw = [jnp.zeros((HALO_ROWS, LANES), jnp.uint32) for _ in range(KEY_WORDS)]
     rw = [jnp.zeros((HALO_ROWS, LANES), jnp.uint32) for _ in range(KEY_WORDS)]
@@ -66,8 +68,8 @@ def _extract_block(codes_s, rid_s, mask_ref, *, window, salt, scale, variant):
         fw[q] = fw[q] | (cf << r)
         rw[q] = rw[q] | (cr << r)
 
-    mf = [fw[q] & mask_ref[0, q] for q in range(KEY_WORDS)]
-    mr = [rw[q] & mask_ref[0, q] for q in range(KEY_WORDS)]
+    mf = [fw[q] & mask_vals[q] for q in range(KEY_WORDS)]
+    mr = [rw[q] & mask_vals[q] for q in range(KEY_WORDS)]
     fwd_lt = mf[0] < mr[0]
     for q in range(1, KEY_WORDS):
         fwd_lt = (mf[q] < mr[q]) | ((mf[q] == mr[q]) & fwd_lt)
@@ -100,8 +102,9 @@ def _kernel(codes_hbm, rid_hbm, mask_ref, o0, o1, o2, o3, okeep,
             codes_s, rid_s, sems, *, window: int, salt: int, scale: int,
             variant: str):
     _start_dma(codes_hbm, rid_hbm, codes_s, rid_s, sems)
-    canon, keep = _extract_block(codes_s, rid_s, mask_ref, window=window,
-                                 salt=salt, scale=scale, variant=variant)
+    canon, keep = _extract_block(
+        codes_s, rid_s, [mask_ref[0, q] for q in range(KEY_WORDS)],
+        window=window, salt=salt, scale=scale, variant=variant)
     o0[0], o1[0], o2[0], o3[0] = canon
     okeep[0] = keep.astype(jnp.uint32)
 
@@ -116,17 +119,25 @@ def _lane_cumsum(x):
     return x
 
 
-def _compact_kernel(codes_hbm, rid_hbm, mask_ref, ow0, ow1, ow2, ow3, ocnt,
-                    codes_s, rid_s, sems, *, window: int, salt: int,
+def _compact_kernel(codes_hbm, rid_hbm, mask_ref, salt_ref,
+                    ow0, ow1, ow2, ow3, ocnt,
+                    codes_s, rid_s, sems, *, window: int,
                     scale: int, variant: str, k_slots: int):
     """Extract + filter + per-row compaction: each 128-window row emits its
     first `k_slots` surviving keys (slot s = the (s+1)-th kept window of the
     row, located via a lane cumsum + one-hot reduction).  Rows with more
     than k_slots survivors are detected outside via the emitted row counts
-    (the caller retries at a larger capacity -> larger k_slots)."""
+    (the caller retries at a larger capacity -> larger k_slots).
+
+    mask_ref (G, 4) and salt_ref (G, 2) are per-batch-element: the batch
+    axis can carry genomes (one mask broadcast) OR spaced seeds over one
+    genome (fused multi-seed sketching, the EP analog of SURVEY.md §2.1)."""
+    g = pl.program_id(0)
     _start_dma(codes_hbm, rid_hbm, codes_s, rid_s, sems)
-    canon, keep = _extract_block(codes_s, rid_s, mask_ref, window=window,
-                                 salt=salt, scale=scale, variant=variant)
+    canon, keep = _extract_block(
+        codes_s, rid_s, [mask_ref[g, q] for q in range(KEY_WORDS)],
+        window=window, salt=(salt_ref[g, 0], salt_ref[g, 1]),
+        scale=scale, variant=variant)
     cum = _lane_cumsum(keep.astype(jnp.int32))       # (BROWS, 128)
     rowcnt = jnp.max(cum, axis=1, keepdims=True)     # = cum[:, -1]
     # Mosaic lacks unsigned reductions (and 1-D bitcasts); summing the
@@ -226,7 +237,7 @@ def _pad_batch(codes, run_id, window):
 
 
 def extract_compact_windows_batched(codes, run_id, mask_words, *,
-                                    window: int, salt: int, scale: int,
+                                    window: int, salt, scale: int,
                                     variant: str, k_slots: int,
                                     interpret: bool = False):
     """codes/run_id (G, n) -> (words 4 x (G, M) uint32 candidate key lanes
@@ -237,13 +248,27 @@ def extract_compact_windows_batched(codes, run_id, mask_words, *,
     sketch step (XLA lowers top_k to a full sort on TPU) collapse into the
     extraction kernel itself.  A row (128 consecutive windows) emits its
     first k_slots survivors; rows exceeding k_slots are detected via rowcnt
-    by the caller, which retries with a larger capacity."""
+    by the caller, which retries with a larger capacity.
+
+    mask_words may be (4,) (broadcast to the batch) or (G, 4) per-element;
+    salt may be a host int (broadcast) or a (G, 2) uint32 [hi, lo] array —
+    per-element masks/salts make the batch axis carry spaced SEEDS over one
+    genome (fused multi-seed sketching)."""
     assert window <= 64, "window exceeds MAX_KMER_LENGTH"
     g = codes.shape[0]
     codes2, rid2, nw, nwp = _pad_batch(codes, run_id, window)
     rows = nwp // LANES
 
-    kern = functools.partial(_compact_kernel, window=window, salt=salt,
+    if mask_words.ndim == 1:
+        mask_words = jnp.broadcast_to(mask_words, (g, KEY_WORDS))
+    if isinstance(salt, int):
+        salts = jnp.broadcast_to(jnp.asarray(
+            [(salt >> 32) & 0xFFFFFFFF, salt & 0xFFFFFFFF], jnp.uint32),
+            (g, 2))
+    else:
+        salts = salt
+
+    kern = functools.partial(_compact_kernel, window=window,
                              scale=scale, variant=variant, k_slots=k_slots)
     word_shape = jax.ShapeDtypeStruct((g, rows, k_slots), jnp.uint32)
     outs = pl.pallas_call(
@@ -252,7 +277,9 @@ def extract_compact_windows_batched(codes, run_id, mask_words, *,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((1, KEY_WORDS), lambda gi, b: (0, 0),
+            pl.BlockSpec((g, KEY_WORDS), lambda gi, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, 2), lambda gi, b: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -268,7 +295,7 @@ def extract_compact_windows_batched(codes, run_id, mask_words, *,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(codes2, rid2, mask_words.reshape(1, KEY_WORDS))
+    )(codes2, rid2, mask_words, salts)
     words = [o.reshape(g, rows * k_slots) for o in outs[:4]]
     rowcnt = outs[4].reshape(g, rows)
     return words, rowcnt, nw

@@ -200,8 +200,13 @@ def _merge_round_kernel(lr: int, final: bool, w0, w1, w2, w3,
     o0[:], o1[:], o2[:], o3[:] = x
 
 
+MERGE_PALLAS_MAX_ROWS = 1024      # 2*lr beyond this overflows scoped VMEM
+
+
 def _merge_round(planes, lr: int, interpret):
     r = planes[0].shape[0]
+    if 2 * lr > MERGE_PALLAS_MAX_ROWS:
+        return _merge_round_xla(planes, lr)
     blocks = r // (2 * lr)
     kern = functools.partial(_merge_round_kernel, lr, blocks == 1)
     return pl.pallas_call(
@@ -214,3 +219,37 @@ def _merge_round(planes, lr: int, interpret):
         out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.uint32)] * KEY_WORDS,
         interpret=interpret,
     )(*planes)
+
+
+def _merge_round_xla(planes, lr: int):
+    """One bitonic-merge round as plain XLA compare-exchange passes — used
+    when the 2*lr-row block exceeds scoped VMEM.  Each pass at distance d is
+    a reshape to (blocks, 2, d) + lexicographic min/max select (pure
+    elementwise, no sort/top_k/gather); run direction alternates by run
+    index (ascending when a single run remains)."""
+    r = planes[0].shape[0]
+    m = r * LANES
+    run = 2 * lr * LANES                      # merged run length, elements
+    flat = [p.reshape(m) for p in planes]
+    d = lr * LANES
+    while d >= 1:
+        nb = m // (2 * d)
+        x = [f.reshape(nb, 2, d) for f in flat]
+        lo = [xq[:, 0, :] for xq in x]
+        hi = [xq[:, 1, :] for xq in x]
+        lo_lt_hi = lo[0] < hi[0]
+        for q in range(1, KEY_WORDS):
+            lo_lt_hi = (lo[q] < hi[q]) | ((lo[q] == hi[q]) & lo_lt_hi)
+        if run >= m:
+            asc = True
+        else:
+            blk0 = lax.broadcasted_iota(jnp.int32, (nb, 1), 0) * (2 * d)
+            asc = ((blk0 // run) % 2) == 0
+        take_lo = lo_lt_hi == asc
+        flat = []
+        for q in range(KEY_WORDS):
+            nl = jnp.where(take_lo, lo[q], hi[q])
+            nh = jnp.where(take_lo, hi[q], lo[q])
+            flat.append(jnp.stack([nl, nh], axis=1).reshape(m))
+        d //= 2
+    return [f.reshape(r, LANES) for f in flat]

@@ -141,24 +141,34 @@ def sketch_batch(codes, run_id, mask_words, *, window: int, salt: int,
     under jit/shard_map."""
     if (jax.default_backend() == "tpu" and not _PALLAS_SORT_DISABLED
             and codes.ndim == 2):
-        from .pallas.extract import extract_compact_windows_batched
-        # k_slots also grows with capacity so the overflow->retry loop
-        # terminates even on adversarial inputs (e.g. a surviving k-mer
-        # repeated across a whole row): at k_slots=128 overflow is
-        # impossible (a row has only 128 windows).
-        rows = max(1, (codes.shape[1] - window + 1 + 127) // 128)
-        grow = 1 << max(0, (4 * capacity // rows - 1).bit_length())
-        k_slots = min(128, max(slots_for_scale(scale), grow))
-        words, rowcnt, _ = extract_compact_windows_batched(
-            codes, run_id, mask_words, window=window, salt=salt, scale=scale,
-            variant=variant, k_slots=k_slots)
-
-        def finish(w0, w1, w2, w3, rc):
-            return _finish_candidates([w0, w1, w2, w3], rc, k_slots, capacity)
-        return jax.vmap(finish)(*words, rowcnt)
+        return _sketch_batch_pallas(codes, run_id, mask_words, salt,
+                                    window=window, scale=scale,
+                                    variant=variant, capacity=capacity)
     fn = functools.partial(sketch_core, window=window, salt=salt, scale=scale,
                            variant=variant, capacity=capacity)
     return jax.vmap(fn, in_axes=(0, 0, None))(codes, run_id, mask_words)
+
+
+def _sketch_batch_pallas(codes, run_id, mask_words, salt, *, window: int,
+                         scale: int, variant: str, capacity: int
+                         ) -> SketchBatch:
+    """TPU path shared by genome batches (one mask broadcast) and fused
+    multi-seed (per-element masks/salts)."""
+    from .pallas.extract import extract_compact_windows_batched
+    # k_slots also grows with capacity so the overflow->retry loop
+    # terminates even on adversarial inputs (e.g. a surviving k-mer
+    # repeated across a whole row): at k_slots=128 overflow is
+    # impossible (a row has only 128 windows).
+    rows = max(1, (codes.shape[1] - window + 1 + 127) // 128)
+    grow = 1 << max(0, (4 * capacity // rows - 1).bit_length())
+    k_slots = min(128, max(slots_for_scale(scale), grow))
+    words, rowcnt, _ = extract_compact_windows_batched(
+        codes, run_id, mask_words, window=window, salt=salt, scale=scale,
+        variant=variant, k_slots=k_slots)
+
+    def finish(w0, w1, w2, w3, rc):
+        return _finish_candidates([w0, w1, w2, w3], rc, k_slots, capacity)
+    return jax.vmap(finish)(*words, rowcnt)
 
 
 @functools.lru_cache(maxsize=128)
@@ -339,8 +349,19 @@ def sketch_from_codes_multiseed(codes, run_id, masks_words, salt_pairs, *,
     = seeds, all dense; BASELINE.json config 3).
 
     masks_words: (S, 4) uint32; salt_pairs: (S, 2) uint32 [hi, lo] rows.
-    Returns a SketchBatch with a leading S axis.
+    Returns a SketchBatch with a leading S axis.  On TPU all seeds ride the
+    Pallas kernel's batch grid axis in one dispatch (per-seed mask/salt from
+    SMEM); elsewhere a vmap over sketch_core.
     """
+    s = masks_words.shape[0]
+    if (jax.default_backend() == "tpu" and not _PALLAS_SORT_DISABLED
+            and codes.ndim == 1):
+        codes_b = jnp.broadcast_to(codes, (s,) + codes.shape)
+        rid_b = jnp.broadcast_to(run_id, (s,) + run_id.shape)
+        return _sketch_batch_pallas(codes_b, rid_b, masks_words, salt_pairs,
+                                    window=window, scale=scale,
+                                    variant=variant, capacity=capacity)
+
     def one(mask_w, sp):
         return sketch_core(codes, run_id, mask_w, window=window,
                            salt=(sp[0], sp[1]), scale=scale, variant=variant,
