@@ -38,7 +38,6 @@ BLOCK = 32768                     # windows per grid step (large: amortizes
                                   # the per-block HBM->VMEM DMA latency)
 BROWS = BLOCK // LANES            # 32
 HALO_ROWS = BROWS + 8             # extra 1024 codes cover window-1 <= 63
-MAX_SHIFT = LANES                 # _slide supports 0 <= j < 128
 
 
 def _slide(x, j: int):

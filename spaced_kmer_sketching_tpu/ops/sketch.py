@@ -6,12 +6,15 @@ TPU-native formulation: a sketch is a SORTED UNIQUE array of 128-bit keys
 plus a count.  Sorted arrays make intersection a merge instead of hash
 probing and batch trivially across genomes.
 
-Dedup uses XLA's multi-operand lexicographic sort (lax.sort, num_keys=4) —
-the idiomatic way to sort wide keys on TPU.
+On TPU, extraction + FracMinHash + per-row compaction run as one fused
+Pallas kernel (ops/pallas/extract.py) and sorting is a Pallas bitonic
+network (ops/pallas/sort.py); on other backends everything is pure jnp
+(extract_windows + lax.sort).  The two paths are bit-identical.
 """
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -28,6 +31,7 @@ from .extract import extract_windows
 import numpy as _np
 SENTINEL = _np.uint32(0xFFFFFFFF)
 KEY_WORDS = 4
+_PALLAS_SORT_DISABLED = os.environ.get("SKS_DISABLE_PALLAS_SORT") == "1"
 
 
 class SketchBatch(NamedTuple):
@@ -59,10 +63,6 @@ def _sort_rows(words, extra=()):
     out = lax.sort(operands, num_keys=4)
     w3, w2, w1, w0 = out[:4]
     return [w0, w1, w2, w3], out[4:]
-
-
-import os as _os
-_PALLAS_SORT_DISABLED = _os.environ.get("SKS_DISABLE_PALLAS_SORT") == "1"
 
 
 def sketch_core(codes, run_id, mask_words, *, window: int, salt,
