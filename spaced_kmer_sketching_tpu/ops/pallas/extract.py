@@ -235,6 +235,18 @@ def _pad_batch(codes, run_id, window):
             run_id.reshape(g, -1, LANES), nw, nwp)
 
 
+def _norm_mask_salt(mask_words, salt, g):
+    if mask_words.ndim == 1:
+        mask_words = jnp.broadcast_to(mask_words, (g, KEY_WORDS))
+    if isinstance(salt, int):
+        salts = jnp.broadcast_to(jnp.asarray(
+            [(salt >> 32) & 0xFFFFFFFF, salt & 0xFFFFFFFF], jnp.uint32),
+            (g, 2))
+    else:
+        salts = salt
+    return mask_words, salts
+
+
 def extract_compact_windows_batched(codes, run_id, mask_words, *,
                                     window: int, salt, scale: int,
                                     variant: str, k_slots: int,

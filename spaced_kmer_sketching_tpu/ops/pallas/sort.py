@@ -111,16 +111,18 @@ TILE_ROWS = 256
 TILE_ELEMS = TILE_ROWS * LANES          # 32768
 
 
-def _tile_sort_kernel(force_asc: bool, w0, w1, w2, w3, o0, o1, o2, o3):
-    """Full bitonic sort of one tile; unless force_asc, direction alternates
-    with grid id so adjacent tiles form bitonic sequences for the merges."""
+def _tile_sort_kernel(force_asc: bool, m: int, w0, w1, w2, w3,
+                      o0, o1, o2, o3):
+    """Full bitonic sort of one m-element tile; unless force_asc, direction
+    alternates with grid id so adjacent tiles form bitonic sequences for
+    the merges."""
     x = [w0[:], w1[:], w2[:], w3[:]]
     shape = x[0].shape
     row = lax.broadcasted_iota(jnp.int32, shape, 0)
     lane = lax.broadcasted_iota(jnp.int32, shape, 1)
     flat = row * LANES + lane
     desc = jnp.bool_(False) if force_asc else (pl.program_id(0) % 2) == 1
-    stages = TILE_ELEMS.bit_length() - 1
+    stages = m.bit_length() - 1
     for k in range(1, stages + 1):
         asc = ((flat & (1 << k)) == 0) != desc
         for j in range(k - 1, -1, -1):
@@ -133,19 +135,27 @@ def _tile_sort_kernel(force_asc: bool, w0, w1, w2, w3, o0, o1, o2, o3):
     o0[:], o1[:], o2[:], o3[:] = x
 
 
-def _tile_sort(planes, interpret, force_asc=False):
+def _tile_sort(planes, interpret, force_asc=False, tile_rows=TILE_ROWS):
     r = planes[0].shape[0]
-    t = r // TILE_ROWS
+    t = r // tile_rows
     return pl.pallas_call(
-        functools.partial(_tile_sort_kernel, force_asc),
+        functools.partial(_tile_sort_kernel, force_asc, tile_rows * LANES),
         grid=(t,),
-        in_specs=[pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+        in_specs=[pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)] * KEY_WORDS,
-        out_specs=[pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0),
+        out_specs=[pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * KEY_WORDS,
         out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.uint32)] * KEY_WORDS,
         interpret=interpret,
     )(*planes)
+
+
+def sort_runs_128(planes, run_rows: int, interpret: bool = False):
+    """Sort consecutive run_rows-row runs of (R, 128) planes independently,
+    directions alternating (run i ascending iff i even) — the producer of
+    bitonic run pairs for _merge_round."""
+    return _tile_sort(planes, interpret, force_asc=False,
+                      tile_rows=run_rows)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "interpret"))

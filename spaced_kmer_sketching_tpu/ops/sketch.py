@@ -150,25 +150,101 @@ def sketch_batch(codes, run_id, mask_words, *, window: int, salt: int,
 
 
 def _sketch_batch_pallas(codes, run_id, mask_words, salt, *, window: int,
-                         scale: int, variant: str, capacity: int
-                         ) -> SketchBatch:
+                         scale: int, variant: str, capacity: int,
+                         interpret: bool = False) -> SketchBatch:
     """TPU path shared by genome batches (one mask broadcast) and fused
     multi-seed (per-element masks/salts)."""
-    from .pallas.extract import extract_compact_windows_batched
+    from .pallas.extract import BLOCK, extract_compact_windows_batched
     # k_slots also grows with capacity so the overflow->retry loop
     # terminates even on adversarial inputs (e.g. a surviving k-mer
     # repeated across a whole row): at k_slots=128 overflow is
     # impossible (a row has only 128 windows).
-    rows = max(1, (codes.shape[1] - window + 1 + 127) // 128)
+    nw = codes.shape[1] - window + 1
+    rows = max(1, (nw + 127) // 128)
     grow = 1 << max(0, (4 * capacity // rows - 1).bit_length())
     k_slots = min(128, max(slots_for_scale(scale), grow))
+
     words, rowcnt, _ = extract_compact_windows_batched(
         codes, run_id, mask_words, window=window, salt=salt, scale=scale,
-        variant=variant, k_slots=k_slots)
+        variant=variant, k_slots=k_slots, interpret=interpret)
+
+    nblocks = (nw + BLOCK - 1) // BLOCK
+    npb = 1 << max(0, (nblocks - 1).bit_length())  # runs padded to pow2
+    run_elems = (BLOCK // 128) * k_slots           # candidates per block
+    out_elems = capacity // npb if npb else 0
+    if (nblocks >= 2 and 128 <= out_elems <= run_elems
+            and capacity % npb == 0 and out_elems % 128 == 0):
+        def finish(w0, w1, w2, w3, rc):
+            return _finish_runs([w0, w1, w2, w3], rc, k_slots, nblocks,
+                                run_elems, out_elems, capacity, interpret)
+        return jax.vmap(finish)(*words, rowcnt)
 
     def finish(w0, w1, w2, w3, rc):
         return _finish_candidates([w0, w1, w2, w3], rc, k_slots, capacity)
     return jax.vmap(finish)(*words, rowcnt)
+
+
+def _finish_runs(words, rowcnt, k_slots: int, nblocks: int, run_elems: int,
+                 out_elems: int, capacity: int,
+                 interpret: bool = False) -> SketchBatch:
+    """Finish for per-block candidate runs: sort each block's candidates
+    (small alternating-direction bitonic runs — ~scale x less sort work
+    than sorting the whole sentinel-dominated candidate array), truncate
+    every run to its out_elems capacity share, bitonic-merge into one
+    ascending array, then adjacent-unique + recompact.  Truncation drops
+    valid keys only when a block held more than its share — detected via
+    the per-row counts and resolved by the caller's capacity retry."""
+    from .pallas.sort import _merge_round, sort_runs_128
+
+    m = words[0].shape[0]                     # nblocks * run_elems
+    run_rows = run_elems // 128
+    planes = [w.reshape(m // 128, 128) for w in words]
+    planes = sort_runs_128(planes, run_rows, interpret)
+
+    # truncate: ascending runs keep their head, descending runs their tail
+    parity = (lax.broadcasted_iota(jnp.int32, (nblocks, 1), 0) % 2) == 1
+    trunc = []
+    for p in planes:
+        runs = p.reshape(nblocks, run_elems)
+        head = runs[:, :out_elems]
+        tail = runs[:, run_elems - out_elems:]
+        trunc.append(jnp.where(parity, tail, head).reshape(
+            nblocks * out_elems))
+
+    npb = 1 << max(0, (nblocks - 1).bit_length())
+    if npb * out_elems > nblocks * out_elems:
+        fill = jnp.full((npb * out_elems - nblocks * out_elems,), SENTINEL)
+        trunc = [jnp.concatenate([w, fill]) for w in trunc]
+
+    planes = [w.reshape(capacity // 128, 128) for w in trunc]
+    lr = out_elems // 128
+    while lr < capacity // 128:
+        planes = _merge_round(planes, lr, interpret)
+        lr *= 2
+    buf = [p.reshape(capacity) for p in planes]
+
+    rows = rowcnt.shape[0]
+    rcl = jnp.minimum(rowcnt, k_slots)
+    valid_total = jnp.sum(rcl).astype(jnp.int32)
+    total = jnp.sum(rowcnt).astype(jnp.int32)
+    rows_per_block = 256
+    nb = rows // rows_per_block
+    block_valid = jnp.sum(rcl[:nb * rows_per_block].reshape(
+        nb, rows_per_block), axis=1)
+    overflow = (jnp.any(rowcnt > k_slots)
+                | jnp.any(block_valid > out_elems))
+    raw_kept = jnp.where(overflow,
+                         jnp.maximum(total, jnp.int32(capacity + 1)), total)
+
+    idx = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    neq_prev = jnp.zeros((capacity,), jnp.bool_)
+    for q in range(KEY_WORDS):
+        neq_prev = neq_prev | (buf[q] != jnp.roll(buf[q], 1))
+    uniq = (idx < jnp.minimum(valid_total, capacity)) & \
+        ((idx == 0) | neq_prev)
+    count = jnp.sum(uniq).astype(jnp.int32)
+    keys = jnp.stack(_compact_unique(buf, uniq, idx), axis=-1)
+    return SketchBatch(keys=keys, count=count, raw_kept=raw_kept)
 
 
 @functools.lru_cache(maxsize=128)

@@ -93,3 +93,34 @@ def test_compact_kernel_overflow_rows_report_true_counts():
     rc = np.asarray(rowcnt[0])
     assert rc.sum() == keep_r.sum()          # true counts, not clamped
     assert (rc > 8).any()                    # overflow visible to caller
+
+
+def test_sketch_batch_pallas_interpret_end_to_end():
+    """Full TPU sketch path (block-sorted kernel + merge finish) in
+    interpret mode vs the portable vmap(sketch_core) path."""
+    import functools
+    import jax
+    from spaced_kmer_sketching_tpu.ops.sketch import (_sketch_batch_pallas,
+                                                      sketch_core)
+    window, k, scale, cap = 20, 16, 40, 4096
+    mask = spaced_seed_mask(window, k, 0)
+    salt = boosthash.fmh_salt(mask.lo, mask.hi, window, 1, "modern")
+    rng = np.random.default_rng(3)
+    G, n = 2, 70000                       # ~3 blocks -> padded to 4 runs
+    codes = rng.integers(0, 4, (G, n)).astype(np.uint32)
+    rid = np.stack([run_ids_from_lens([n // 2, n - n // 2], n)] * G)
+    mw = jnp.asarray(mask.words_u32)
+
+    got = _sketch_batch_pallas(jnp.asarray(codes), jnp.asarray(rid), mw,
+                               salt, window=window, scale=scale,
+                               variant="modern", capacity=cap,
+                               interpret=True)
+    fn = functools.partial(sketch_core, window=window, salt=salt,
+                           scale=scale, variant="modern", capacity=cap)
+    want = jax.vmap(fn, in_axes=(0, 0, None))(
+        jnp.asarray(codes), jnp.asarray(rid), mw)
+    assert int(np.asarray(want.raw_kept).max()) <= cap
+    np.testing.assert_array_equal(np.asarray(got.count),
+                                  np.asarray(want.count))
+    np.testing.assert_array_equal(np.asarray(got.keys),
+                                  np.asarray(want.keys))
