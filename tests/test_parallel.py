@@ -193,3 +193,13 @@ def test_multiseed_fused_matches_per_seed():
         want = oracle_sketch(runs, masks[s].value, WINDOW, salts[s], SCALE,
                              VARIANT)
         assert _keys_to_set(fused.keys[s], fused.count[s]) == want
+
+
+def test_distributed_helpers_single_process():
+    from spaced_kmer_sketching_tpu.parallel.distributed import (
+        global_mesh, init_distributed, process_shard)
+    init_distributed()           # no-op/idempotent in a single-process run
+    init_distributed()
+    mesh = global_mesh()
+    assert mesh.devices.size == jax.device_count()
+    assert process_shard(10) == slice(0, 10)
