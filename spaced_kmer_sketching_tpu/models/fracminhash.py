@@ -128,15 +128,33 @@ class FracMinHashSketcher:
         packed = read_fasta(path, use_native=use_native)
         return self.sketch_packed(packed, name=path)
 
-    def sketch_files(self, paths: Sequence[str], max_workers: int = 8) -> List[Sketch]:
+    def sketch_files(self, paths: Sequence[str], max_workers: int = 8,
+                     on_error: str = "raise") -> List[Sketch]:
         """Genome-level data parallelism: host threads parse/pack while the
         chip sketches (replaces the reference's cilk_for over files,
         src/kmer_set.cpp:124); genomes sharing a padded shape go through the
-        device in one batched dispatch."""
+        device in one batched dispatch.
+
+        on_error: 'raise' mirrors the reference (a bad file kills the run,
+        fasta_processing.cpp:86-90); 'skip' isolates per-genome ingest
+        failures to an empty sketch + error log (SURVEY.md §5)."""
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"unknown on_error {on_error!r}")
+
+        def _read(p):
+            try:
+                return read_fasta(p)
+            except Exception:
+                if on_error == "raise":
+                    raise
+                log.exception("skipping unreadable genome %s", p)
+                return PackedSeqs(codes=np.empty(0, np.uint8),
+                                  run_lens=np.empty(0, np.int64))
+
         with span("sketching", log):
             packed = {}
             with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
-                for p, pk in zip(paths, ex.map(read_fasta, paths)):
+                for p, pk in zip(paths, ex.map(_read, paths)):
                     packed[p] = pk
             return self.sketch_packed_batch([packed[p] for p in paths],
                                             names=list(paths))

@@ -170,3 +170,17 @@ def test_ring_pairing_mode(tmp_path):
     # values match the all-pairs run's corresponding entries
     full = oracle_experiment(paths, 12, 8, 5).reshape(3, 3)
     np.testing.assert_array_equal(ani, [full[0, 1], full[1, 2], full[2, 0]])
+
+
+def test_sketch_files_error_isolation(tmp_path):
+    from spaced_kmer_sketching_tpu.models.fracminhash import FracMinHashSketcher
+    rng = np.random.default_rng(33)
+    ok = write_fasta(tmp_path / "ok.fa", [random_genome(rng, 1500)])
+    missing = str(tmp_path / "nope.fa")
+    sk = FracMinHashSketcher(SketchConfig(window=12, k=8, scale=5))
+    # reference parity: a bad file kills the run
+    with pytest.raises(FileNotFoundError):
+        sk.sketch_files([ok, missing])
+    # isolation mode: bad genome -> empty sketch, good one still computed
+    out = sk.sketch_files([ok, missing], on_error="skip")
+    assert out[0].count > 0 and out[1].count == 0
