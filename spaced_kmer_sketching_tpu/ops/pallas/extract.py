@@ -97,6 +97,57 @@ def _start_dma(codes_hbm, rid_hbm, codes_s, rid_s, sems):
     cp_r.wait()
 
 
+def _dma_pair(codes_hbm, rid_hbm, codes_s, rid_s, sems, g, b, slot):
+    """Issue the (codes, rid) copies for block (g, b) into buffer `slot`."""
+    row0 = pl.multiple_of(b * BROWS, BROWS)
+    cp_c = pltpu.make_async_copy(
+        codes_hbm.at[g, pl.ds(row0, HALO_ROWS)], codes_s.at[slot],
+        sems.at[slot, 0])
+    cp_r = pltpu.make_async_copy(
+        rid_hbm.at[g, pl.ds(row0, HALO_ROWS)], rid_s.at[slot],
+        sems.at[slot, 1])
+    return cp_c, cp_r
+
+
+def _pipelined_dma(codes_hbm, rid_hbm, codes_s, rid_s, sems, nblocks: int):
+    """Double-buffered block input: wait on this block's copies (started by
+    the previous grid step), prefetch the next block's into the other slot.
+    Grid steps run sequentially per core, and scratch persists across them;
+    the serialized start->wait in _start_dma cost ~5 ms per 512-block batch
+    in DMA latency alone."""
+    g = pl.program_id(0)
+    b = pl.program_id(1)
+    # slot parity must follow the GLOBAL step (g, b iterate row-major):
+    # with an odd per-genome block count, b-parity desynchronizes from the
+    # prefetching step at every genome boundary
+    step = g * nblocks + b
+    slot = step % 2
+    first = (g == 0) & (b == 0)
+
+    @pl.when(first)
+    def _():
+        cc, cr = _dma_pair(codes_hbm, rid_hbm, codes_s, rid_s, sems,
+                           g, b, slot)
+        cc.start()
+        cr.start()
+
+    cc, cr = _dma_pair(codes_hbm, rid_hbm, codes_s, rid_s, sems, g, b, slot)
+    cc.wait()
+    cr.wait()
+
+    last_b = b == nblocks - 1
+    ng = jnp.where(last_b, g + 1, g)
+    nb = jnp.where(last_b, 0, b + 1)
+
+    @pl.when(~(last_b & (g == pl.num_programs(0) - 1)))
+    def _():
+        nc, nr = _dma_pair(codes_hbm, rid_hbm, codes_s, rid_s, sems,
+                           ng, nb, (step + 1) % 2)
+        nc.start()
+        nr.start()
+    return slot
+
+
 def _kernel(codes_hbm, rid_hbm, mask_ref, o0, o1, o2, o3, okeep,
             codes_s, rid_s, sems, *, window: int, salt: int, scale: int,
             variant: str):
@@ -132,9 +183,11 @@ def _compact_kernel(codes_hbm, rid_hbm, mask_ref, salt_ref,
     axis can carry genomes (one mask broadcast) OR spaced seeds over one
     genome (fused multi-seed sketching, the EP analog of SURVEY.md §2.1)."""
     g = pl.program_id(0)
-    _start_dma(codes_hbm, rid_hbm, codes_s, rid_s, sems)
+    slot = _pipelined_dma(codes_hbm, rid_hbm, codes_s, rid_s, sems,
+                          nblocks=pl.num_programs(1))
     canon, keep = _extract_block(
-        codes_s, rid_s, [mask_ref[g, q] for q in range(KEY_WORDS)],
+        codes_s.at[slot], rid_s.at[slot],
+        [mask_ref[g, q] for q in range(KEY_WORDS)],
         window=window, salt=(salt_ref[g, 0], salt_ref[g, 1]),
         scale=scale, variant=variant)
     cum = _lane_cumsum(keep.astype(jnp.int32))       # (BROWS, 128)
@@ -301,9 +354,9 @@ def extract_compact_windows_batched(codes, run_id, mask_words, *,
         out_shape=[word_shape] * 4 + [
             jax.ShapeDtypeStruct((g, rows, 1), jnp.int32)],
         scratch_shapes=[
-            pltpu.VMEM((HALO_ROWS, LANES), jnp.uint32),
-            pltpu.VMEM((HALO_ROWS, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, HALO_ROWS, LANES), jnp.uint32),
+            pltpu.VMEM((2, HALO_ROWS, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
     )(codes2, rid2, mask_words, salts)

@@ -150,12 +150,60 @@ def _tile_sort(planes, interpret, force_asc=False, tile_rows=TILE_ROWS):
     )(*planes)
 
 
+def _multi_run_sort_kernel(run_elems: int, w0, w1, w2, w3, o0, o1, o2, o3):
+    """Sort every run_elems-long run inside one block independently,
+    direction alternating with the GLOBAL run index.  Bitonic passes at
+    distances < run_elems never cross run boundaries (runs are aligned
+    powers of two), so many runs sort in a single grid step — grid-step
+    overhead was dominating when each tiny run had its own step."""
+    x = [w0[:], w1[:], w2[:], w3[:]]
+    shape = x[0].shape
+    row = lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = lax.broadcasted_iota(jnp.int32, shape, 1)
+    flat = row * LANES + lane
+    # The bitonic direction pattern must use RUN-LOCAL indices: at the
+    # final stage the global bit at position log2(run_elems) is the run
+    # parity itself, so using `flat` directly sorted odd runs the wrong
+    # way.  asc = XNOR(bit_k(local), run_parity) in one integer expression.
+    rbit = run_elems.bit_length() - 1
+    local = flat & (run_elems - 1)
+    for k in range(1, rbit + 1):
+        asc = (((local >> k) ^ (flat >> rbit)) & 1) == 0
+        for j in range(k - 1, -1, -1):
+            d = 1 << j
+            p = [_partner(w, d) for w in x]
+            x_lt_p = _lex_lt(x, p)
+            lower = (flat & d) == 0
+            want_x = (lower == asc) == x_lt_p
+            x = [jnp.where(want_x, xi, pi) for xi, pi in zip(x, p)]
+    o0[:], o1[:], o2[:], o3[:] = x
+
+
 def sort_runs_128(planes, run_rows: int, interpret: bool = False):
     """Sort consecutive run_rows-row runs of (R, 128) planes independently,
     directions alternating (run i ascending iff i even) — the producer of
-    bitonic run pairs for _merge_round."""
-    return _tile_sort(planes, interpret, force_asc=False,
-                      tile_rows=run_rows)
+    bitonic run pairs for _merge_round.  Blocks cover as many whole runs as
+    fit in a tile so small runs don't pay per-grid-step overhead."""
+    r = planes[0].shape[0]
+    block_rows = min(r, max(run_rows, TILE_ROWS))
+    rpb = block_rows // run_rows
+    if (block_rows % run_rows or r % block_rows
+            or rpb & (rpb - 1) or (rpb == 1 and r != block_rows)):
+        # global parity needs an even run count per block; otherwise fall
+        # back to one run per grid step with grid-id parity
+        return _tile_sort(planes, interpret, force_asc=False,
+                          tile_rows=run_rows)
+    kern = functools.partial(_multi_run_sort_kernel, run_rows * LANES)
+    return pl.pallas_call(
+        kern,
+        grid=(r // block_rows,),
+        in_specs=[pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * KEY_WORDS,
+        out_specs=[pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * KEY_WORDS,
+        out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.uint32)] * KEY_WORDS,
+        interpret=interpret,
+    )(*planes)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "interpret"))

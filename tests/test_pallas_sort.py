@@ -51,3 +51,25 @@ def test_sort_truncate_sparse_candidates():
                                        interpret=True))
     want = lexsorted(keys)[:capacity]
     np.testing.assert_array_equal(out, want)
+
+
+@pytest.mark.parametrize("run_rows", [4, 32])
+def test_multi_run_sort_alternating_directions(run_rows):
+    """Exercises the multi-run kernel specifically: runs-per-block must be
+    an even power of two (the fallback path hides formula bugs otherwise)."""
+    from spaced_kmer_sketching_tpu.ops.pallas.sort import sort_runs_128
+    rng = np.random.default_rng(run_rows)
+    R = 256
+    keys = rng.integers(0, 2 ** 32, size=(R * 128, 4),
+                        dtype=np.uint64).astype(np.uint32)
+    planes = [jnp.asarray(keys[:, q].reshape(R, 128)) for q in range(4)]
+    outs = sort_runs_128(planes, run_rows, interpret=True)
+    out = np.stack([np.asarray(o).reshape(-1) for o in outs], axis=1)
+    run = run_rows * 128
+    for i in range(R * 128 // run):
+        seg = keys[i * run:(i + 1) * run]
+        want = lexsorted(seg)
+        if i % 2 == 1:
+            want = want[::-1]
+        np.testing.assert_array_equal(out[i * run:(i + 1) * run], want,
+                                      err_msg=f"run {i}")
