@@ -184,3 +184,40 @@ def test_sketch_files_error_isolation(tmp_path):
     # isolation mode: bad genome -> empty sketch, good one still computed
     out = sk.sketch_files([ok, missing], on_error="skip")
     assert out[0].count > 0 and out[1].count == 0
+
+
+def test_legacy_hash_variant_end_to_end(tmp_path):
+    """boost < 1.81 hash variant through the full experiment (the reference's
+    numeric output depends on which boost it was built against)."""
+    rng = np.random.default_rng(41)
+    base = random_genome(rng, 3000)
+    paths = [write_fasta(tmp_path / "l0.fa", [base]),
+             write_fasta(tmp_path / "l1.fa", [mutate(rng, base, 0.05)])]
+    cfg = SketchConfig(window=14, k=10, scale=8, hash_variant="legacy")
+    ani = run_experiment(14, 10, paths, str(tmp_path / "l.csv"), False,
+                         config=cfg, echo_timings=False)
+    want = oracle_experiment(paths, 14, 10, 8, variant="legacy")
+    np.testing.assert_array_equal(ani, want)
+    # and it differs from the modern variant (different kept k-mer sets)
+    modern = oracle_experiment(paths, 14, 10, 8, variant="modern")
+    assert not np.array_equal(want, modern)
+
+
+def test_sweep_resume_with_store(tmp_path):
+    """An interrupted sweep rerun with --store recomputes nothing for
+    already-sketched (mask, window, k) configs."""
+    from spaced_kmer_sketching_tpu.store import SketchStore
+    rng = np.random.default_rng(51)
+    paths = [write_fasta(tmp_path / f"s{i}.fa", [random_genome(rng, 1200)])
+             for i in range(2)]
+    store = SketchStore(str(tmp_path / "st"))
+    cfg = SketchConfig(window=12, k=8, scale=5)
+    out = str(tmp_path / "s.csv")
+    a1 = run_experiment(12, 8, paths, out, False, config=cfg,
+                        echo_timings=False, store=store)
+    files_before = sorted(p.name for p in (tmp_path / "st").iterdir())
+    a2 = run_experiment(12, 8, paths, out, True, config=cfg,
+                        echo_timings=False, store=store)
+    files_after = sorted(p.name for p in (tmp_path / "st").iterdir())
+    np.testing.assert_array_equal(a1, a2)
+    assert files_before == files_after      # nothing new sketched
