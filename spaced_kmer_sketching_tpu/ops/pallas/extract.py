@@ -60,12 +60,15 @@ def _extract_block(codes_s, rid_s, mask_vals, *, window, salt, scale,
     codes = codes_s[:]
     fw = [jnp.zeros((HALO_ROWS, LANES), jnp.uint32) for _ in range(KEY_WORDS)]
     rw = [jnp.zeros((HALO_ROWS, LANES), jnp.uint32) for _ in range(KEY_WORDS)]
+    # one slide per offset serves BOTH strands: the forward word slot
+    # window-1-j and the reverse-complement slot j read the same
+    # codes[t + j] — the slides are the dominant per-window cost
     for j in range(window):
-        q, r = divmod(2 * j, 32)
-        cf = _slide(codes, window - 1 - j)
-        cr = jnp.asarray(3, jnp.uint32) - _slide(codes, j)
-        fw[q] = fw[q] | (cf << r)
-        rw[q] = rw[q] | (cr << r)
+        s = _slide(codes, j)
+        qf, rf = divmod(2 * (window - 1 - j), 32)
+        fw[qf] = fw[qf] | (s << rf)
+        qr, rr = divmod(2 * j, 32)
+        rw[qr] = rw[qr] | ((jnp.asarray(3, jnp.uint32) - s) << rr)
 
     mf = [fw[q] & mask_vals[q] for q in range(KEY_WORDS)]
     mr = [rw[q] & mask_vals[q] for q in range(KEY_WORDS)]
