@@ -59,6 +59,14 @@ class SketchConfig:
             raise ValueError(f"need 0 < k <= window, got k={self.k} window={self.window}")
         if self.hash_variant not in ("modern", "legacy"):
             raise ValueError(f"unknown hash_variant {self.hash_variant!r}")
+        if self.sketch_capacity and (
+                self.sketch_capacity < 256
+                or self.sketch_capacity & (self.sketch_capacity - 1)):
+            # the device sketch/intersection kernels assume power-of-two
+            # buffers; fail here instead of deep inside jit tracing
+            raise ValueError(
+                "sketch_capacity must be 0 (auto) or a power of two >= 256, "
+                f"got {self.sketch_capacity}")
 
     def capacity_for(self, total_windows: int) -> int:
         """Static sketch buffer size for a genome with `total_windows` windows.

@@ -142,12 +142,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from .utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
 
+    if (args.window is None) != (args.k is None):
+        parser.error("--window and --k must be given together")
     base = SketchConfig(
         window=args.window or 10, k=args.k or 10, scale=args.scale,
         nonce=args.nonce, mask_seed=args.mask_seed,
         hash_variant=args.hash_variant)
-    if (args.window is None) != (args.k is None):
-        parser.error("--window and --k must be given together")
 
     store = None
     if args.store:

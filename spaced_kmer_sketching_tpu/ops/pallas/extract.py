@@ -245,8 +245,8 @@ def extract_filter_windows_batched(codes, run_id, mask_words, *, window: int,
         kern,
         grid=(g, nwp // BLOCK),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, KEY_WORDS), lambda gi, b: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -326,14 +326,7 @@ def extract_compact_windows_batched(codes, run_id, mask_words, *,
     codes2, rid2, nw, nwp = _pad_batch(codes, run_id, window)
     rows = nwp // LANES
 
-    if mask_words.ndim == 1:
-        mask_words = jnp.broadcast_to(mask_words, (g, KEY_WORDS))
-    if isinstance(salt, int):
-        salts = jnp.broadcast_to(jnp.asarray(
-            [(salt >> 32) & 0xFFFFFFFF, salt & 0xFFFFFFFF], jnp.uint32),
-            (g, 2))
-    else:
-        salts = salt
+    mask_words, salts = _norm_mask_salt(mask_words, salt, g)
 
     kern = functools.partial(_compact_kernel, window=window,
                              scale=scale, variant=variant, k_slots=k_slots)
@@ -342,8 +335,8 @@ def extract_compact_windows_batched(codes, run_id, mask_words, *,
         kern,
         grid=(g, nwp // BLOCK),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((g, KEY_WORDS), lambda gi, b: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((g, 2), lambda gi, b: (0, 0),

@@ -48,11 +48,18 @@ def init_distributed(coordinator_address: Optional[str] = None,
         kwargs["process_id"] = int(
             process_id if process_id is not None
             else os.environ["JAX_PROCESS_ID"])
-    if kwargs or jax.process_count() == 1:
-        try:
-            jax.distributed.initialize(**kwargs)
-        except (RuntimeError, ValueError):
-            pass  # single-process run or already initialized
+    # initialize() must run BEFORE any backend-querying API (process_count,
+    # devices, ...): touching a backend first initializes JAX single-process
+    # and initialize() then always fails, silently degrading a pod run.
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            pass  # idempotent re-init: fine in any mode
+        elif kwargs:
+            raise  # a coordinator was named (args or env): surface failures
+        # else: auto-detection probe on a machine with no cluster metadata —
+        # the normal single-process case
     init_distributed._done = True
 
 
