@@ -19,6 +19,12 @@ import time
 import numpy as np
 
 
+def _first_mismatch(lo, hi, ref):
+    n = min(lo.shape[0], ref.shape[0])
+    bad = np.nonzero((lo[:n] != ref[:n, 0]) | (hi[:n] != ref[:n, 1]))[0]
+    return int(bad[0]) if bad.size else f"len {lo.shape[0]} vs {ref.shape[0]}"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None,
@@ -37,6 +43,8 @@ def main() -> int:
                     help="G for --mode allpairs")
     ap.add_argument("--batch", type=int, default=8,
                     help="genomes per device dispatch in --mode sketch")
+    ap.add_argument("--no-verify", action="store_true",
+                    help="skip the on-hardware key-level parity gate")
     args = ap.parse_args()
     if args.iters < 1:
         ap.error("--iters must be >= 1")
@@ -100,6 +108,46 @@ def main() -> int:
         cpu_dt = (time.perf_counter() - t0) / reps
         cpu_rate = (n - window + 1) / cpu_dt
 
+    # --- on-hardware parity gate: KEY ARRRAYS (not just counts) vs the ----
+    # independent native C++ pipeline, plus intersection cross-checks.
+    # Interpret-mode tests once missed a real Mosaic miscompile; this runs
+    # on the actual chip every bench invocation and fails loudly.
+    verified = None
+    if native.available() and not args.no_verify:
+        verified = True
+        runs_lens = np.array([n], dtype=np.int64)
+        keys_dev = np.asarray(out.keys).astype(np.uint64)
+        cnt_dev = np.asarray(out.count)
+        ref_keys = []
+        for i in range(g):
+            ref = native.sketch_codes(codes[i].astype(np.uint8), runs_lens,
+                                      mask.lo, mask.hi, window, salt, scale,
+                                      False)
+            ref_keys.append(ref)
+            c = int(cnt_dev[i])
+            lo = keys_dev[i, :c, 0] | (keys_dev[i, :c, 1] << np.uint64(32))
+            hi = keys_dev[i, :c, 2] | (keys_dev[i, :c, 3] << np.uint64(32))
+            if (c != ref.shape[0] or not np.array_equal(lo, ref[:, 0])
+                    or not np.array_equal(hi, ref[:, 1])):
+                verified = False
+                print(f"VERIFY FAIL genome {i}: device count {c} vs native "
+                      f"{ref.shape[0]}; first mismatch at "
+                      f"{_first_mismatch(lo, hi, ref)}", file=sys.stderr)
+        # device intersection tile vs native sorted-merge counts
+        from spaced_kmer_sketching_tpu.ops.intersect import intersection_tile
+        t = min(g, 4)
+        tile = np.asarray(intersection_tile(
+            jnp.asarray(np.asarray(out.keys)[:t]), jnp.asarray(cnt_dev[:t]),
+            jnp.asarray(np.asarray(out.keys)[:t]), jnp.asarray(cnt_dev[:t])))
+        for i in range(t):
+            for j in range(t):
+                want = native.intersect_sorted(ref_keys[i], ref_keys[j])
+                if int(tile[i, j]) != want:
+                    verified = False
+                    print(f"VERIFY FAIL intersect ({i},{j}): device "
+                          f"{int(tile[i, j])} vs native {want}",
+                          file=sys.stderr)
+
     result = {
         "metric": "spaced_kmers_per_s_per_chip",
         "value": round(tpu_rate, 1),
@@ -111,9 +159,10 @@ def main() -> int:
         "nt": n, "batch": g, "window": window, "k": k, "scale": scale,
         "sketch_count": int(np.asarray(out.count)[0]),
         "step_ms": round(dt * 1e3, 3),
+        "verified": verified,
     }
     print(json.dumps(result))
-    return 0
+    return 0 if verified in (True, None) else 1
 
 
 def bench_allpairs(args) -> int:

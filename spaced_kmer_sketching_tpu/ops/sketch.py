@@ -14,6 +14,7 @@ network (ops/pallas/sort.py); on other backends everything is pure jnp
 from __future__ import annotations
 
 import functools
+import math
 import os
 from typing import NamedTuple
 
@@ -168,6 +169,14 @@ def _sketch_batch_pallas(codes, run_id, mask_words, salt, *, window: int,
         codes, run_id, mask_words, window=window, salt=salt, scale=scale,
         variant=variant, k_slots=k_slots, interpret=interpret)
 
+    g = words[0].shape[0]
+    m = words[0].shape[1]
+    if (capacity >= 1024 and m % 128 == 0
+            and _tree_chain(m, 128.0 / k_slots, scale, capacity, g)
+            is not None):
+        return _finish_tree(list(words), rowcnt, k_slots, capacity, scale,
+                            interpret=interpret)
+
     nblocks = (nw + BLOCK - 1) // BLOCK
     npb = 1 << max(0, (nblocks - 1).bit_length())  # runs padded to pow2
     run_elems = (BLOCK // 128) * k_slots           # candidates per block
@@ -182,6 +191,122 @@ def _sketch_batch_pallas(codes, run_id, mask_words, salt, *, window: int,
     def finish(w0, w1, w2, w3, rc):
         return _finish_candidates([w0, w1, w2, w3], rc, k_slots, capacity)
     return jax.vmap(finish)(*words, rowcnt)
+
+
+def _poisson_tail_log10(lam: float, k: int) -> float:
+    """log10 P(Poisson(lam) > k), Chernoff-ish upper bound (exact enough to
+    pick slot counts; no scipy in this image)."""
+    import math
+    if lam <= 0:
+        return -300.0
+    if k <= lam:
+        return 0.0
+    # P(X > k) <= exp(-lam) (e*lam/(k+1))^(k+1)
+    k1 = k + 1
+    return (-lam + k1 * (1 + math.log(lam / k1))) / math.log(10)
+
+
+def _tree_chain(m: int, windows_per_slot: float, scale: int, capacity: int,
+                batch: int):
+    """Plan the compaction chain: [(rows, k_out), ...] shrinking an m-slot
+    candidate array (each slot covering `windows_per_slot` windows on
+    average) until it fits `capacity`.  Returns None when no useful chain
+    exists (fallback to the sort-everything paths)."""
+    stages = []
+    wps = windows_per_slot
+    # headroom grows with a caller-doubled capacity so overflow retries
+    # monotonically relax the per-row slot budgets (auto mirrors
+    # config.SketchConfig.capacity_for)
+    expect = max(1, int(m * wps / scale))
+    auto = 1 << max(8, math.ceil(math.log2(expect * 2 + 256)))
+    headroom = max(1, capacity // auto)
+    while m > capacity and m % LANES_ == 0:
+        rows = m // LANES_
+        lam = LANES_ * wps / scale
+        k_out = 8
+        while k_out < LANES_ and (
+                _poisson_tail_log10(lam, k_out) + math.log10(rows * batch + 1)
+                > -9):
+            k_out *= 2
+        k_out = min(LANES_, k_out * headroom)
+        if k_out >= LANES_:
+            break
+        stages.append((rows, k_out))
+        m = rows * k_out
+        wps = LANES_ * wps / k_out
+    # a final sort at up to 2x capacity (then truncate) is still far
+    # cheaper than the sort-everything fallbacks
+    return stages if m <= 2 * capacity else None
+
+
+LANES_ = 128
+
+
+def _finish_tree(words, rowcnt, k_slots: int, capacity: int, scale: int,
+                 interpret: bool = False) -> SketchBatch:
+    """Tree-compaction finish: repeatedly fold the sentinel-sparse candidate
+    array (G, m) into (G, m/128, 128) rows and compact each row's valid
+    slots to the front (ops/pallas/compact.py), then ONE bitonic sort at
+    `capacity` + adjacent-unique.  Replaces the per-run sort + merge-round
+    cascade, which spent most of its time sorting sentinel fill.
+
+    Key drops (a row exceeding its slot budget) are detected EXACTLY by
+    valid-count conservation: the kernel drops keys only by compaction
+    overflow, so post-chain valid slots != sum(min(rowcnt, k_slots)) iff a
+    drop happened; the caller then retries at doubled capacity.  Batched:
+    words 4 x (G, m), rowcnt (G, rows)."""
+    from .pallas.compact import compact_rows
+
+    g, m = words[0].shape
+    rows = rowcnt.shape[1]
+    stages = _tree_chain(m, 128.0 / k_slots, scale, capacity, g)
+    assert stages is not None
+
+    planes = [w for w in words]
+    for srows, k_out in stages:
+        planes = [p.reshape(g, srows, LANES_) for p in planes]
+        planes = compact_rows(planes, k_out, interpret=interpret)
+        planes = [p.reshape(g, srows * k_out) for p in planes]
+    mf = planes[0].shape[1]
+
+    # valid-count conservation (exact drop detection)
+    sent = jnp.uint32(SENTINEL)
+    still = ((planes[0] != sent) | (planes[1] != sent)
+             | (planes[2] != sent) | (planes[3] != sent))
+    kept_after = jnp.sum(still, axis=1).astype(jnp.int32)      # (G,)
+
+    mp = 1 << (max(mf, capacity) - 1).bit_length()   # sort size (pow2)
+    if mf < mp:
+        fill = jnp.full((g, mp - mf), SENTINEL, jnp.uint32)
+        planes = [jnp.concatenate([p, fill], axis=1) for p in planes]
+
+    def one(w0, w1, w2, w3, rc, ka):
+        buf, _ = _sort_rows([w0, w1, w2, w3])
+        buf = [w[:capacity] for w in buf]
+        rcl = jnp.minimum(rc, k_slots)
+        valid_total = jnp.sum(rcl).astype(jnp.int32)
+        total = jnp.sum(rc).astype(jnp.int32)
+        overflow = jnp.any(rc > k_slots) | (ka != valid_total)
+        raw_kept = jnp.where(
+            overflow, jnp.maximum(total, jnp.int32(capacity + 1)), total)
+        idx = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+        neq_prev = jnp.zeros((capacity,), jnp.bool_)
+        for q in range(KEY_WORDS):
+            neq_prev = neq_prev | (buf[q] != jnp.roll(buf[q], 1))
+        uniq = (idx < jnp.minimum(valid_total, capacity)) & \
+            ((idx == 0) | neq_prev)
+        count = jnp.sum(uniq).astype(jnp.int32)
+        bufm = [jnp.where(uniq, w, SENTINEL) for w in buf]
+        return (*bufm, count, raw_kept)
+
+    w0m, w1m, w2m, w3m, count, raw_kept = jax.vmap(one)(
+        *planes, rowcnt, kept_after)
+    # survivors are already sorted; close the duplicate holes with the
+    # order-preserving butterfly instead of a second full bitonic sort
+    from .pallas.compact import compact_global
+    keys = jnp.stack(compact_global([w0m, w1m, w2m, w3m],
+                                    interpret=interpret), axis=-1)
+    return SketchBatch(keys=keys, count=count, raw_kept=raw_kept)
 
 
 def _finish_runs(words, rowcnt, k_slots: int, nblocks: int, run_elems: int,

@@ -124,3 +124,95 @@ def test_sketch_batch_pallas_interpret_end_to_end():
                                   np.asarray(want.count))
     np.testing.assert_array_equal(np.asarray(got.keys),
                                   np.asarray(want.keys))
+
+
+def test_compact_rows_interpret():
+    """compact_rows moves each row's non-sentinel slots to the front
+    (order preserved), sentinel-fills the rest."""
+    from spaced_kmer_sketching_tpu.ops.pallas.compact import compact_rows
+    rng = np.random.default_rng(9)
+    g, r, k_out = 2, 8, 16
+    words = np.full((4, g, r, 128), 0xFFFFFFFF, dtype=np.uint32)
+    for gi in range(g):
+        for ri in range(r):
+            nvalid = rng.integers(0, 24)           # some rows overflow 16
+            lanes = np.sort(rng.choice(128, nvalid, replace=False))
+            for q in range(4):
+                words[q, gi, ri, lanes] = rng.integers(0, 1 << 31, nvalid)
+    outs = compact_rows([jnp.asarray(w) for w in words], k_out,
+                        interpret=True)
+    for gi in range(g):
+        for ri in range(r):
+            valid = ~np.all([words[q, gi, ri] == 0xFFFFFFFF
+                             for q in range(4)], axis=0)
+            lanes = np.nonzero(valid)[0][:k_out]
+            for q in range(4):
+                got = np.asarray(outs[q][gi, ri])
+                np.testing.assert_array_equal(got[:len(lanes)],
+                                              words[q, gi, ri, lanes])
+                assert (got[len(lanes):] == 0xFFFFFFFF).all()
+
+
+def test_sketch_batch_pallas_tree_finish_interpret():
+    """The tree-compaction finish (the mainline TPU path at realistic
+    scale/capacity) bit-matches the portable path, including the padded
+    sort + truncate-to-capacity tail."""
+    import functools
+    import jax
+    from spaced_kmer_sketching_tpu.ops.sketch import (_sketch_batch_pallas,
+                                                      _tree_chain,
+                                                      sketch_core,
+                                                      slots_for_scale)
+    window, k, scale, cap = 20, 16, 200, 1024
+    mask = spaced_seed_mask(window, k, 0)
+    salt = boosthash.fmh_salt(mask.lo, mask.hi, window, 1, "modern")
+    rng = np.random.default_rng(5)
+    G, n = 2, 70000
+    # confirm this config takes the tree path
+    rows = ((n - window + 1 + 32767) // 32768 * 32768) // 128
+    assert _tree_chain(rows * 16, 8.0, scale, cap, G) is not None
+    codes = rng.integers(0, 4, (G, n)).astype(np.uint32)
+    rid = np.stack([run_ids_from_lens([n // 2, n - n // 2], n)] * G)
+    mw = jnp.asarray(mask.words_u32)
+
+    got = _sketch_batch_pallas(jnp.asarray(codes), jnp.asarray(rid), mw,
+                               salt, window=window, scale=scale,
+                               variant="modern", capacity=cap,
+                               interpret=True)
+    fn = functools.partial(sketch_core, window=window, salt=salt,
+                           scale=scale, variant="modern", capacity=cap)
+    want = jax.vmap(fn, in_axes=(0, 0, None))(
+        jnp.asarray(codes), jnp.asarray(rid), mw)
+    assert int(np.asarray(want.raw_kept).max()) <= cap
+    np.testing.assert_array_equal(np.asarray(got.count),
+                                  np.asarray(want.count))
+    np.testing.assert_array_equal(np.asarray(got.keys),
+                                  np.asarray(want.keys))
+    np.testing.assert_array_equal(np.asarray(got.raw_kept),
+                                  np.asarray(want.raw_kept))
+
+
+def test_compact_global_interpret():
+    """compact_global closes holes across the whole flat array, preserving
+    order (sorted in, sorted out)."""
+    from spaced_kmer_sketching_tpu.ops.pallas.compact import compact_global
+    rng = np.random.default_rng(13)
+    g, n = 3, 2048
+    words = np.full((4, g, n), 0xFFFFFFFF, dtype=np.uint32)
+    for gi in range(g):
+        nval = int(rng.integers(0, n))
+        pos = np.sort(rng.choice(n, nval, replace=False))
+        vals = np.sort(rng.integers(0, 1 << 62, nval).astype(np.uint64))
+        words[0, gi, pos] = (vals & 0xFFFFFFFF).astype(np.uint32)
+        words[1, gi, pos] = (vals >> 32).astype(np.uint32)
+        words[2, gi, pos] = 7
+        words[3, gi, pos] = 9
+    outs = compact_global([jnp.asarray(w) for w in words], interpret=True)
+    for gi in range(g):
+        valid = ~np.all([words[q, gi] == 0xFFFFFFFF for q in range(4)],
+                        axis=0)
+        pos = np.nonzero(valid)[0]
+        for q in range(4):
+            got = np.asarray(outs[q][gi])
+            np.testing.assert_array_equal(got[:pos.size], words[q, gi, pos])
+            assert (got[pos.size:] == 0xFFFFFFFF).all()
