@@ -37,9 +37,13 @@ def run_experiment(window_size: int, kmer_size: int, filenames: Sequence[str],
                    config: Optional[SketchConfig] = None,
                    sketcher: Optional[FracMinHashSketcher] = None,
                    echo_timings: bool = True,
-                   store=None, pairing: str = "all") -> np.ndarray:
+                   store=None, pairing: str = "all",
+                   make_sketcher=None) -> np.ndarray:
     """One (window, k) experiment over `filenames`; returns the flat ANI list
     in reference pair order (all ordered pairs incl. self, row-major).
+
+    `make_sketcher` (cfg -> sketcher) selects the execution engine — the
+    driver passes parallel.sketcher.MeshSketcher under --mesh.
 
     Parity with test_compute_ANI_estimation_random_spaced_kmers
     (src/kmer-sketching.cpp:151-212)."""
@@ -49,7 +53,8 @@ def run_experiment(window_size: int, kmer_size: int, filenames: Sequence[str],
                            mask_seed=cfg.mask_seed, scale=cfg.scale,
                            nonce=cfg.nonce, hash_variant=cfg.hash_variant,
                            sketch_capacity=cfg.sketch_capacity)
-    sk = sketcher or FracMinHashSketcher(cfg)
+    sk = sketcher or (make_sketcher(cfg) if make_sketcher
+                      else FracMinHashSketcher(cfg))
 
     t0 = time.perf_counter()
     if store is not None:
@@ -96,10 +101,12 @@ def reference_sweep_schedule():
 
 def run_reference_sweep(output_filename: str, filenames: Sequence[str],
                         config: Optional[SketchConfig] = None,
-                        echo_timings: bool = True, store=None) -> None:
+                        echo_timings: bool = True, store=None,
+                        make_sketcher=None) -> None:
     for window, k, is_append in reference_sweep_schedule():
         run_experiment(window, k, filenames, output_filename, is_append,
-                       config=config, echo_timings=echo_timings, store=store)
+                       config=config, echo_timings=echo_timings, store=store,
+                       make_sketcher=make_sketcher)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
@@ -132,6 +139,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
                         help="JAX platform override (e.g. cpu); needed "
                              "because the environment may pin a TPU backend "
                              "at interpreter start")
+    parser.add_argument("--mesh", default=None, metavar="RxC|auto",
+                        help="run sketching and all-pairs sharded over a "
+                             "2-D device mesh (e.g. 2x4); 'auto' uses every "
+                             "device in the (possibly multi-host) job")
     args = parser.parse_args(argv)
 
     if args.platform:
@@ -154,6 +165,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         from .store import SketchStore
         store = SketchStore(args.store)
 
+    make_sketcher = None
+    if args.mesh:
+        from .parallel.distributed import global_mesh, init_distributed
+        from .parallel.sketcher import MeshSketcher
+        init_distributed()
+        shape = None if args.mesh == "auto" else tuple(
+            int(x) for x in args.mesh.lower().replace(",", "x").split("x"))
+        mesh = global_mesh(shape)
+        make_sketcher = lambda cfg: MeshSketcher(cfg, mesh)  # noqa: E731
+
     import contextlib
     ctx = contextlib.nullcontext()
     if args.profile:
@@ -163,10 +184,10 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if args.window is not None:
             run_experiment(args.window, args.k, args.fastas, args.output_csv,
                            args.append, config=base, store=store,
-                           pairing=args.pairing)
+                           pairing=args.pairing, make_sketcher=make_sketcher)
         else:
             run_reference_sweep(args.output_csv, args.fastas, config=base,
-                                store=store)
+                                store=store, make_sketcher=make_sketcher)
     return 0
 
 

@@ -53,6 +53,84 @@ def _slide(x, j: int):
     return jnp.where(lane < LANES - j, a, b)
 
 
+def _slide_far(x, j: int):
+    """_slide for arbitrary j >= 0: whole-row part via a sublane roll,
+    sub-row remainder via _slide."""
+    rows = x.shape[0]
+    rr, ll = divmod(j, LANES)
+    if rr:
+        x = pltpu.roll(x, rows - rr, 0)
+    return _slide(x, ll)
+
+
+# --- packed window construction ------------------------------------------
+# The scalar scheme slides the per-lane code stream `window` times (one
+# slide per window offset).  The packed scheme pre-packs 16 2-bit codes per
+# uint32 at the XLA level and reconstructs each strand's window words from
+# ~2 packed slides per 32-bit word:
+#   reverse-complement word m of window t = packed complemented codes
+#     [t+16m .. t+16m+15]  (kmer_sliding.cpp:42-47 semantics: complement of
+#     code[t+u] lands at bit-pair u+16m)
+#   forward word q of window t = packed REVERSED codes starting at
+#     e = t + window - 16q - 16 (code[t+window-1-j] at bit-pair j,
+#     kmer_sliding.cpp:26-31)
+# With Qc[t] = pack(~codes[16*(t>>4) ..]) and Qr[t] = pack-reversed, both
+# repeated 16x so lanes are window-indexed, any packed word at offset o is
+#   (Q[t+o'] >> s) | (Q[t+o'+16] << 32-s),  s = 2*((t+o) & 15)
+# a per-lane-constant shift.  e can be negative by up to 15, so the arrays
+# carry 8 leading pad rows (1024 codes) and all offsets are biased by
+# _LEAD = 1024 (also keeps every DMA 1024-element aligned).
+_LEAD = 8 * LANES
+TILE_ROWS = HALO_ROWS + 8
+
+
+def _extract_block_packed(qc_s, qr_s, rid_s, mask_vals, *, window, salt,
+                          scale, variant):
+    """Packed-slide kernel body: canonical masked keys + keep mask for one
+    block.  qc_s/qr_s: (TILE_ROWS, 128) repeated packed planes (see above);
+    rid_s likewise with 8 leading pad rows."""
+    qc = qc_s[:]
+    qr = qr_s[:]
+    nwords = (2 * window + 31) // 32
+    lane = lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+
+    # reverse-complement strand: sequence-order complemented codes
+    acs = [_slide_far(qc, _LEAD + 16 * m) for m in range(nwords + 1)]
+    s_rc = (2 * (lane & 15)).astype(jnp.uint32)
+    mr = []
+    for m in range(nwords):
+        x = (acs[m] >> s_rc) | (acs[m + 1] << ((32 - s_rc) & 31))
+        mr.append(jnp.where(s_rc == 0, acs[m], x) & mask_vals[m])
+
+    # forward strand: reversed codes ending at the window top
+    mf = []
+    for q in range(nwords):
+        d = window - 16 * q - 16
+        sb = (2 * ((lane + d) & 15)).astype(jnp.uint32)
+        b0 = _slide_far(qr, _LEAD + d)
+        b1 = _slide_far(qr, _LEAD + d + 16)
+        x = (b0 << sb) | (b1 >> ((32 - sb) & 31))
+        mf.append(jnp.where(sb == 0, b0, x) & mask_vals[q])
+
+    zero = jnp.zeros((TILE_ROWS, LANES), jnp.uint32)
+    while len(mf) < KEY_WORDS:      # mask has no bits past 2*window
+        mf.append(zero)
+        mr.append(zero)
+
+    fwd_lt = mf[0] < mr[0]
+    for q in range(1, KEY_WORDS):
+        fwd_lt = (mf[q] < mr[q]) | ((mf[q] == mr[q]) & fwd_lt)
+    canon = [jnp.where(fwd_lt, mf[q], mr[q])[:BROWS] for q in range(KEY_WORDS)]
+
+    rid = rid_s[:]
+    rid_a = _slide_far(rid, _LEAD)[:BROWS]
+    rid_b = _slide_far(rid, _LEAD + window - 1)[:BROWS]
+    valid = (rid_a == rid_b) & (rid_a >= 0)
+    keep = valid & u64ops.fmh_keep(*canon, salt=salt, scale=scale,
+                                   variant=variant)
+    return canon, keep
+
+
 def _extract_block(codes_s, rid_s, mask_vals, *, window, salt, scale,
                    variant):
     """Shared kernel body: canonical masked keys + keep mask for one block.
@@ -100,24 +178,24 @@ def _start_dma(codes_hbm, rid_hbm, codes_s, rid_s, sems):
     cp_r.wait()
 
 
-def _dma_pair(codes_hbm, rid_hbm, codes_s, rid_s, sems, g, b, slot):
-    """Issue the (codes, rid) copies for block (g, b) into buffer `slot`."""
+def _dma_group(hbms, scratches, sems, g, b, slot):
+    """Issue the input copies for block (g, b) into buffer `slot`; tile row
+    count comes from each scratch buffer's shape."""
     row0 = pl.multiple_of(b * BROWS, BROWS)
-    cp_c = pltpu.make_async_copy(
-        codes_hbm.at[g, pl.ds(row0, HALO_ROWS)], codes_s.at[slot],
-        sems.at[slot, 0])
-    cp_r = pltpu.make_async_copy(
-        rid_hbm.at[g, pl.ds(row0, HALO_ROWS)], rid_s.at[slot],
-        sems.at[slot, 1])
-    return cp_c, cp_r
+    cps = []
+    for i, (h, s) in enumerate(zip(hbms, scratches)):
+        rows = s.shape[1]
+        cps.append(pltpu.make_async_copy(
+            h.at[g, pl.ds(row0, rows)], s.at[slot], sems.at[slot, i]))
+    return cps
 
 
-def _pipelined_dma(codes_hbm, rid_hbm, codes_s, rid_s, sems, nblocks: int):
+def _pipelined_dma(hbms, scratches, sems, nblocks: int):
     """Double-buffered block input: wait on this block's copies (started by
     the previous grid step), prefetch the next block's into the other slot.
     Grid steps run sequentially per core, and scratch persists across them;
-    the serialized start->wait in _start_dma cost ~5 ms per 512-block batch
-    in DMA latency alone."""
+    a serialized start->wait cost ~5 ms per 512-block batch in DMA latency
+    alone."""
     g = pl.program_id(0)
     b = pl.program_id(1)
     # slot parity must follow the GLOBAL step (g, b iterate row-major):
@@ -129,14 +207,11 @@ def _pipelined_dma(codes_hbm, rid_hbm, codes_s, rid_s, sems, nblocks: int):
 
     @pl.when(first)
     def _():
-        cc, cr = _dma_pair(codes_hbm, rid_hbm, codes_s, rid_s, sems,
-                           g, b, slot)
-        cc.start()
-        cr.start()
+        for cp in _dma_group(hbms, scratches, sems, g, b, slot):
+            cp.start()
 
-    cc, cr = _dma_pair(codes_hbm, rid_hbm, codes_s, rid_s, sems, g, b, slot)
-    cc.wait()
-    cr.wait()
+    for cp in _dma_group(hbms, scratches, sems, g, b, slot):
+        cp.wait()
 
     last_b = b == nblocks - 1
     ng = jnp.where(last_b, g + 1, g)
@@ -144,10 +219,8 @@ def _pipelined_dma(codes_hbm, rid_hbm, codes_s, rid_s, sems, nblocks: int):
 
     @pl.when(~(last_b & (g == pl.num_programs(0) - 1)))
     def _():
-        nc, nr = _dma_pair(codes_hbm, rid_hbm, codes_s, rid_s, sems,
-                           ng, nb, (step + 1) % 2)
-        nc.start()
-        nr.start()
+        for cp in _dma_group(hbms, scratches, sems, ng, nb, (step + 1) % 2):
+            cp.start()
     return slot
 
 
@@ -172,9 +245,9 @@ def _lane_cumsum(x):
     return x
 
 
-def _compact_kernel(codes_hbm, rid_hbm, mask_ref, salt_ref,
+def _compact_kernel(qc_hbm, qr_hbm, rid_hbm, mask_ref, salt_ref,
                     ow0, ow1, ow2, ow3, ocnt,
-                    codes_s, rid_s, sems, *, window: int,
+                    qc_s, qr_s, rid_s, sems, *, window: int,
                     scale: int, variant: str, k_slots: int):
     """Extract + filter + per-row compaction: each 128-window row emits its
     first `k_slots` surviving keys (slot s = the (s+1)-th kept window of the
@@ -186,10 +259,10 @@ def _compact_kernel(codes_hbm, rid_hbm, mask_ref, salt_ref,
     axis can carry genomes (one mask broadcast) OR spaced seeds over one
     genome (fused multi-seed sketching, the EP analog of SURVEY.md §2.1)."""
     g = pl.program_id(0)
-    slot = _pipelined_dma(codes_hbm, rid_hbm, codes_s, rid_s, sems,
-                          nblocks=pl.num_programs(1))
-    canon, keep = _extract_block(
-        codes_s.at[slot], rid_s.at[slot],
+    slot = _pipelined_dma((qc_hbm, qr_hbm, rid_hbm), (qc_s, qr_s, rid_s),
+                          sems, nblocks=pl.num_programs(1))
+    canon, keep = _extract_block_packed(
+        qc_s.at[slot], qr_s.at[slot], rid_s.at[slot],
         [mask_ref[g, q] for q in range(KEY_WORDS)],
         window=window, salt=(salt_ref[g, 0], salt_ref[g, 1]),
         scale=scale, variant=variant)
@@ -276,7 +349,10 @@ def extract_filter_windows(codes, run_id, mask_words, *, window: int,
     return tuple(c[0] for c in canon), keep[0]
 
 
-def _pad_batch(codes, run_id, window):
+def _pad_batch_packed(codes, run_id, window):
+    """XLA-level prep for the packed kernel: pad, 16-per-u32 pack both
+    derived streams (complemented sequence order + reversed order), repeat
+    16x to window-index space, and prepend _LEAD pad codes."""
     g, n = codes.shape
     nw = n - window + 1
     nwp = ((nw + BLOCK - 1) // BLOCK) * BLOCK
@@ -287,8 +363,21 @@ def _pad_batch(codes, run_id, window):
             [codes, jnp.zeros((g, pad), codes.dtype)], axis=1)
         run_id = jnp.concatenate(
             [run_id, jnp.full((g, pad), -1, run_id.dtype)], axis=1)
-    return (codes.astype(jnp.uint32).reshape(g, -1, LANES),
-            run_id.reshape(g, -1, LANES), nw, nwp)
+    c = codes.astype(jnp.uint32).reshape(g, need // 16, 16)
+    pc = jnp.zeros((g, need // 16), jnp.uint32)
+    pr = jnp.zeros((g, need // 16), jnp.uint32)
+    for u in range(16):
+        pc = pc | ((jnp.uint32(3) - c[..., u]) << (2 * u))
+        pr = pr | (c[..., 15 - u] << (2 * u))
+    qc = jnp.repeat(pc, 16, axis=1)
+    qr = jnp.repeat(pr, 16, axis=1)
+    lead = jnp.zeros((g, _LEAD), jnp.uint32)
+    qc = jnp.concatenate([lead, qc], axis=1)
+    qr = jnp.concatenate([lead, qr], axis=1)
+    rid = jnp.concatenate(
+        [jnp.full((g, _LEAD), -1, run_id.dtype), run_id], axis=1)
+    return (qc.reshape(g, -1, LANES), qr.reshape(g, -1, LANES),
+            rid.reshape(g, -1, LANES), nw, nwp)
 
 
 def _norm_mask_salt(mask_words, salt, g):
@@ -323,7 +412,7 @@ def extract_compact_windows_batched(codes, run_id, mask_words, *,
     genome (fused multi-seed sketching)."""
     assert window <= 64, "window exceeds MAX_KMER_LENGTH"
     g = codes.shape[0]
-    codes2, rid2, nw, nwp = _pad_batch(codes, run_id, window)
+    qc2, qr2, rid2, nw, nwp = _pad_batch_packed(codes, run_id, window)
     rows = nwp // LANES
 
     mask_words, salts = _norm_mask_salt(mask_words, salt, g)
@@ -335,6 +424,7 @@ def extract_compact_windows_batched(codes, run_id, mask_words, *,
         kern,
         grid=(g, nwp // BLOCK),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((g, KEY_WORDS), lambda gi, b: (0, 0),
@@ -350,12 +440,13 @@ def extract_compact_windows_batched(codes, run_id, mask_words, *,
         out_shape=[word_shape] * 4 + [
             jax.ShapeDtypeStruct((g, rows, 1), jnp.int32)],
         scratch_shapes=[
-            pltpu.VMEM((2, HALO_ROWS, LANES), jnp.uint32),
-            pltpu.VMEM((2, HALO_ROWS, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, TILE_ROWS, LANES), jnp.uint32),
+            pltpu.VMEM((2, TILE_ROWS, LANES), jnp.uint32),
+            pltpu.VMEM((2, TILE_ROWS, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         interpret=interpret,
-    )(codes2, rid2, mask_words, salts)
+    )(qc2, qr2, rid2, mask_words, salts)
     words = [o.reshape(g, rows * k_slots) for o in outs[:4]]
     rowcnt = outs[4].reshape(g, rows)
     return words, rowcnt, nw

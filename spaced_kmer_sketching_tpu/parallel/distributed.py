@@ -53,13 +53,14 @@ def init_distributed(coordinator_address: Optional[str] = None,
     # and initialize() then always fails, silently degrading a pod run.
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError as e:
+    except (RuntimeError, ValueError) as e:
         if "already" in str(e).lower():
             pass  # idempotent re-init: fine in any mode
         elif kwargs:
             raise  # a coordinator was named (args or env): surface failures
-        # else: auto-detection probe on a machine with no cluster metadata —
-        # the normal single-process case
+        # else: auto-detection probe on a machine with no cluster metadata
+        # (RuntimeError, or ValueError 'coordinator_address should be
+        # defined') — the normal single-process case
     init_distributed._done = True
 
 

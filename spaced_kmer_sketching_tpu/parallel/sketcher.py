@@ -1,0 +1,146 @@
+"""Mesh-backed drop-in sketcher: the driver's `--mesh` execution engine.
+
+Subclasses models.fracminhash.FracMinHashSketcher so the CLI driver and the
+sweep (driver.py) run UNCHANGED on a device mesh: genome-level sketching is
+dispatched through parallel.sketch.sharded_sketch_fn (the cilk_for-over-files
+analog, src/kmer_set.cpp:112-133) and the all-pairs intersection matrix
+through parallel.allpairs.sharded_all_pairs_fn (the cilk_for-over-pairs
+analog, src/kmer_set.cpp:167-184).  Results are bit-identical to the
+single-device path — tests/test_driver.py asserts byte-identical CSVs.
+
+Multi-host: ingest is sharded per process (process_shard), and the global
+batch is assembled with jax.make_array_from_process_local_data so each host
+parses and uploads only its own genomes.
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SketchConfig
+from ..models.fracminhash import FracMinHashSketcher, Sketch, _next_pow2
+from ..observability import get_logger, span
+from .allpairs import sharded_all_pairs_fn
+from .distributed import global_mesh, process_shard
+from .mesh import ROW_AXIS, data_spec, pad_to_multiple
+from .sketch import pack_genome_batch, sharded_sketch_fn
+
+log = get_logger(__name__)
+
+
+@functools.lru_cache(maxsize=64)
+def _sketch_fn(mesh: Mesh, window: int, salt: int, scale: int, variant: str,
+               capacity: int):
+    return sharded_sketch_fn(mesh, window=window, salt=salt, scale=scale,
+                             variant=variant, capacity=capacity)
+
+
+@functools.lru_cache(maxsize=8)
+def _pairs_fn(mesh: Mesh):
+    return sharded_all_pairs_fn(mesh)
+
+
+class MeshSketcher(FracMinHashSketcher):
+    """FracMinHashSketcher whose batched steps run sharded over a mesh."""
+
+    def __init__(self, config: SketchConfig, mesh: Optional[Mesh] = None,
+                 mask=None):
+        super().__init__(config, mask)
+        self.mesh = mesh if mesh is not None else global_mesh()
+        self.mesh_size = int(np.prod(list(self.mesh.shape.values())))
+
+    # ---- ingest: each process parses only its own shard --------------------
+    def sketch_files(self, paths: Sequence[str], max_workers: int = 8,
+                     on_error: str = "raise") -> List[Sketch]:
+        import concurrent.futures as cf
+
+        from ..ingest.fasta import PackedSeqs, read_fasta
+
+        if on_error not in ("raise", "skip"):
+            raise ValueError(f"unknown on_error {on_error!r}")
+        sl = process_shard(len(paths))
+        local = set(range(len(paths))[sl])
+        empty = PackedSeqs(codes=np.empty(0, np.uint8),
+                           run_lens=np.empty(0, np.int64))
+
+        def _read(i):
+            if i not in local:
+                return empty
+            try:
+                return read_fasta(paths[i])
+            except Exception:
+                if on_error == "raise":
+                    raise
+                log.exception("skipping unreadable genome %s", paths[i])
+                return empty
+
+        with span("sketching", log):
+            with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
+                packed = list(ex.map(_read, range(len(paths))))
+            return self.sketch_packed_batch(packed, names=list(paths))
+
+    # ---- sharded batched sketching -----------------------------------------
+    def sketch_packed_batch(self, packed_list, names=None) -> List[Sketch]:
+        cfg = self.config
+        names = names or [""] * len(packed_list)
+        codes, run_ids, g = pack_genome_batch(packed_list, self.mesh_size,
+                                              cfg.window)
+        nwins = [p.total_windows(cfg.window) for p in packed_list]
+        capacity = max([cfg.capacity_for(nw) for nw in nwins if nw > 0]
+                       or [cfg.capacity_for(1)])
+
+        spec = data_spec()
+        dc = self._put(codes, spec)
+        dr = self._put(run_ids, spec)
+        while True:
+            fn = _sketch_fn(self.mesh, cfg.window, self.salt, cfg.scale,
+                            cfg.hash_variant, capacity)
+            res = fn(dc, dr, self._mask_words)
+            raw = int(self._get(res.raw_kept).max())
+            if raw <= capacity:
+                break
+            capacity = 1 << math.ceil(math.log2(raw + 1))
+            log.info("sharded sketch overflow -> retry cap=%d", capacity)
+
+        keys = self._get(res.keys)
+        counts = self._get(res.count)
+        out: List[Sketch] = []
+        for i in range(g):
+            c = int(counts[i]) if nwins[i] > 0 else 0
+            out.append(Sketch(keys=keys[i, :c].copy(), count=c,
+                              window=cfg.window, mask=self.mask,
+                              name=names[i]))
+        return out
+
+    def _put(self, arr: np.ndarray, spec: P):
+        sharding = NamedSharding(self.mesh, spec)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, arr)
+        return jax.device_put(arr, sharding)
+
+    def _get(self, x) -> np.ndarray:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(jax.device_get(x))
+
+    # ---- sharded all-pairs --------------------------------------------------
+    def all_pairs_intersections(self, sketches: Sequence[Sketch],
+                                tile: int = 64) -> np.ndarray:
+        g = len(sketches)
+        gp = pad_to_multiple(max(g, 1), self.mesh_size)
+        cap = max(1, _next_pow2(max([s.count for s in sketches] or [1])))
+        keys = np.full((gp, cap, 4), 0xFFFFFFFF, dtype=np.uint32)
+        counts = np.zeros(gp, dtype=np.int32)
+        for i, s in enumerate(sketches):
+            keys[i, :s.count] = s.keys
+            counts[i] = s.count
+        fn = _pairs_fn(self.mesh)
+        out = self._get(fn(self._put(keys, P(ROW_AXIS)),
+                           self._put(counts, P(ROW_AXIS))))
+        return out[:g, :g]

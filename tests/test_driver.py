@@ -221,3 +221,26 @@ def test_sweep_resume_with_store(tmp_path):
     files_after = sorted(p.name for p in (tmp_path / "st").iterdir())
     np.testing.assert_array_equal(a1, a2)
     assert files_before == files_after      # nothing new sketched
+
+
+def test_mesh_driver_csv_identical(tmp_path):
+    """--mesh 2x4 on the virtual 8-device mesh produces a byte-identical
+    CSV to the single-device run (sketching AND all-pairs sharded)."""
+    from spaced_kmer_sketching_tpu.driver import main as driver_main
+    rng = np.random.default_rng(21)
+    fastas = [write_fasta(tmp_path / f"g{i}.fa",
+                          [rng.integers(0, 4, 4000)])
+              for i in range(3)]
+    single = tmp_path / "single.csv"
+    meshed = tmp_path / "mesh.csv"
+    for w, k, append in [(20, 16, False), (12, 12, True)]:
+        args = [str(single), *fastas, "--window", str(w), "--k", str(k)]
+        if append:
+            args.append("--append")
+        assert driver_main(args) == 0
+        margs = [str(meshed), *fastas, "--window", str(w), "--k", str(k),
+                 "--mesh", "2x4"]
+        if append:
+            margs.append("--append")
+        assert driver_main(margs) == 0
+    assert meshed.read_bytes() == single.read_bytes()

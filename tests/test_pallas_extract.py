@@ -216,3 +216,32 @@ def test_compact_global_interpret():
             got = np.asarray(outs[q][gi])
             np.testing.assert_array_equal(got[:pos.size], words[q, gi, pos])
             assert (got[pos.size:] == 0xFFFFFFFF).all()
+
+
+@pytest.mark.parametrize("window,k", [(2, 2), (15, 9), (16, 16), (17, 10),
+                                      (32, 20), (33, 21), (48, 30),
+                                      (64, 40), (64, 64)])
+def test_packed_kernel_window_sweep(window, k):
+    """The packed-slide window construction across word-boundary edge
+    cases: window multiples of 16 (negative-offset path disabled), odd
+    widths, 3- and 4-word keys, and the 64-nt maximum."""
+    mask, salt, codes, rid = setup(window, k, 3, 4096,
+                                   runs=[1000, 96, 3000])
+    canon_r, keep_r = ref_keep(codes, rid, mask, window, salt, 3)
+    words, rowcnt, nw = extract_compact_windows_batched(
+        jnp.asarray(codes)[None], jnp.asarray(rid)[None],
+        jnp.asarray(mask.words_u32), window=window, salt=salt, scale=3,
+        variant="modern", k_slots=128, interpret=True)
+    want = sorted((int(canon_r[0][i]) | int(canon_r[1][i]) << 32
+                   | int(canon_r[2][i]) << 64 | int(canon_r[3][i]) << 96)
+                  for i in np.flatnonzero(keep_r))
+    w = [np.asarray(x[0], dtype=np.uint64) for x in words]
+    rc = np.asarray(rowcnt[0])
+    got = []
+    for r in range(rc.size):
+        for s in range(rc[r]):
+            i = r * 128 + s
+            got.append(int(w[0][i]) | int(w[1][i]) << 32
+                       | int(w[2][i]) << 64 | int(w[3][i]) << 96)
+    assert sorted(got) == want
+    assert rc.sum() == keep_r.sum()
