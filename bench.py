@@ -95,9 +95,12 @@ def main() -> int:
     windows = g * (n - window + 1)
     tpu_rate = windows / dt
 
-    # --- CPU baseline: native C++ scalar pipeline on the same input --------
-    cpu_rate = None
+    # --- CPU baselines: native C++ pipeline, 1 thread and whole host -------
+    # (the reference is Cilk-parallel over files, kmer_set.cpp:124, so the
+    # honest machine-level comparison is the multi-threaded number)
+    cpu_rate = cpu_mt_rate = None
     if native.available():
+        import os as _os
         runs_lens = np.array([n], dtype=np.int64)
         codes8 = codes[0].astype(np.uint8)       # scalar path: one genome
         reps = 3
@@ -107,6 +110,13 @@ def main() -> int:
                                 window, salt, scale, False)
         cpu_dt = (time.perf_counter() - t0) / reps
         cpu_rate = (n - window + 1) / cpu_dt
+
+        nthreads = _os.cpu_count() or 1
+        codes8b = codes.astype(np.uint8)
+        t0 = time.perf_counter()
+        native.sketch_batch_mt(codes8b, mask.lo, mask.hi, window, salt,
+                               scale, False, nthreads)
+        cpu_mt_rate = windows / (time.perf_counter() - t0)
 
     # --- on-hardware parity gate: KEY ARRRAYS (not just counts) vs the ----
     # independent native C++ pipeline, plus intersection cross-checks.
@@ -154,6 +164,9 @@ def main() -> int:
         "unit": "windows/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 3) if cpu_rate else None,
         "baseline_cpu_scalar_windows_per_s": round(cpu_rate, 1) if cpu_rate else None,
+        "vs_host_mt": round(tpu_rate / cpu_mt_rate, 3) if cpu_mt_rate else None,
+        "baseline_cpu_host_windows_per_s": (round(cpu_mt_rate, 1)
+                                            if cpu_mt_rate else None),
         "platform": jax.devices()[0].platform,
         "device": str(jax.devices()[0]),
         "nt": n, "batch": g, "window": window, "k": k, "scale": scale,
@@ -193,28 +206,25 @@ def bench_allpairs(args) -> int:
     keys = jnp.asarray(keys_np)
     counts = jnp.asarray(counts_np)
 
-    # tile the G x G matrix: one intersection_tile call per (T, T) block —
-    # the vmapped probe materializes (T, T, cap) intermediates, so T is
-    # bounded to keep the working set on-chip-friendly
+    # one jitted program computes the whole G x G matrix: lax.map over row
+    # tiles keeps the (T, G, cap) probe intermediates bounded while leaving
+    # the loop on-device (the round-1 bench re-sliced and dispatched each
+    # 32x32 tile from host Python, paying per-tile dispatch overhead AND
+    # under-measuring via block_until_ready, which can return before
+    # completion through the axon tunnel)
+    from spaced_kmer_sketching_tpu.ops.intersect import all_pairs_matrix
     tile = min(g, 32)
 
+    @jax.jit
     def allpairs():
-        outs = []
-        for r0 in range(0, g, tile):
-            row = []
-            for c0 in range(0, g, tile):
-                row.append(intersection_tile(
-                    keys[r0:r0 + tile], counts[r0:r0 + tile],
-                    keys[c0:c0 + tile], counts[c0:c0 + tile]))
-            outs.append(row)
-        return outs[-1][-1]
+        return all_pairs_matrix(keys, counts, row_tile=tile)
 
     out = allpairs()
-    jax.block_until_ready(out)
+    checksum = int(np.asarray(out.sum()))        # forced completion
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = allpairs()
-    jax.block_until_ready(out)
+    assert int(np.asarray(out.sum())) == checksum
     dt = (time.perf_counter() - t0) / args.iters
     pairs = g * g
     tpu_rate = pairs / dt

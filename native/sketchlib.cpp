@@ -27,6 +27,7 @@
 #include <numeric>
 #include <random>
 #include <string>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -201,6 +202,41 @@ int64_t skt_sketch_codes(const uint8_t* codes, const int64_t* run_lens, int64_t 
         keys_out[2 * i + 1] = static_cast<uint64_t>(kept[i] >> 64);
     }
     return cnt;
+}
+
+// Multi-threaded batch sketching: std::thread over genomes, replicating the
+// reference's cilk_for-over-files parallelism (kmer_set.cpp:124) for the
+// honest whole-host baseline.  All genomes share one length n and one run.
+// Writes per-genome unique-key counts; key material is discarded (the
+// baseline measures throughput; parity uses the scalar entry).
+void skt_sketch_batch_mt(const uint8_t* codes, int64_t n, int g,
+                         uint64_t mask_lo, uint64_t mask_hi, int window,
+                         uint64_t salt, uint64_t scale, int legacy,
+                         int nthreads, int64_t* counts_out) {
+    std::vector<std::thread> ts;
+    ts.reserve(nthreads);
+    for (int t = 0; t < nthreads; ++t) {
+        ts.emplace_back([=]() {
+            std::vector<uint64_t> buf;
+            for (int i = t; i < g; i += nthreads) {
+                const int64_t need = n / (int64_t)scale * 4 + 1024;
+                buf.resize(2 * need);
+                int64_t run = n;
+                int64_t cnt = skt_sketch_codes(codes + (int64_t)i * n, &run,
+                                               1, mask_lo, mask_hi, window,
+                                               salt, scale, legacy,
+                                               buf.data(), need);
+                if (cnt < 0) {
+                    buf.resize(2 * -cnt);
+                    cnt = skt_sketch_codes(codes + (int64_t)i * n, &run, 1,
+                                           mask_lo, mask_hi, window, salt,
+                                           scale, legacy, buf.data(), -cnt);
+                }
+                counts_out[i] = cnt;
+            }
+        });
+    }
+    for (auto& th : ts) th.join();
 }
 
 // Sorted-unique 128-bit set intersection (two-pointer merge), for the CPU

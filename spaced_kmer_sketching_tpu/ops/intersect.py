@@ -71,3 +71,24 @@ def intersection_tile(keys_rows, count_rows, keys_cols, count_cols):
         return jax.vmap(lambda kb, cb: _pair_intersection(ka, ca, kb, cb))(
             keys_cols, count_cols)
     return jax.vmap(one_row)(keys_rows, count_rows)
+
+
+def all_pairs_matrix(keys, counts, *, row_tile: int = 32):
+    """Full (G, G) intersection matrix in ONE jittable program: an on-device
+    lax.map over row tiles bounds the (row_tile, G, cap) probe intermediates
+    without host round-trips per tile.  G must divide by row_tile."""
+    g, cap, _ = keys.shape
+    assert g % row_tile == 0, (g, row_tile)
+
+    def block(args):
+        krow, crow = args
+        def one_row(ka, ca):
+            return jax.vmap(
+                lambda kb, cb: _pair_intersection(ka, ca, kb, cb))(
+                    keys, counts)
+        return jax.vmap(one_row)(krow, crow)
+
+    blocks = lax.map(block, (keys.reshape(g // row_tile, row_tile, cap,
+                                          KEY_WORDS),
+                             counts.reshape(g // row_tile, row_tile)))
+    return blocks.reshape(g, g)

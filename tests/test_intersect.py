@@ -91,3 +91,22 @@ def test_matches_cpp_merge():
         jnp.asarray(k1[None]), jnp.asarray(np.array([c1])),
         jnp.asarray(k2[None]), jnp.asarray(np.array([c2]))))[0])
     assert got == want == len(a & b)
+
+
+def test_all_pairs_matrix_matches_tile():
+    from spaced_kmer_sketching_tpu.ops.intersect import (all_pairs_matrix,
+                                                         intersection_tile)
+    rng = np.random.default_rng(3)
+    g, cap = 8, 256
+    keys = np.full((g, cap, 4), 0xFFFFFFFF, np.uint32)
+    counts = np.zeros(g, np.int32)
+    for i in range(g):
+        n = int(rng.integers(1, cap))
+        vals = np.unique(rng.integers(0, 1 << 30, n).astype(np.uint32))
+        keys[i, :vals.size, 0] = vals
+        keys[i, :vals.size, 1:] = 0
+        counts[i] = vals.size
+    k, c = jnp.asarray(keys), jnp.asarray(counts)
+    want = np.asarray(intersection_tile(k, c, k, c))
+    got = np.asarray(all_pairs_matrix(k, c, row_tile=4))
+    np.testing.assert_array_equal(got, want)
