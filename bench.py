@@ -76,13 +76,22 @@ def main() -> int:
     run_id = np.stack([run_ids_from_lens([n], n)] * g)
     capacity = 1 << max(10, (max(1, 2 * n // scale)).bit_length())
 
-    dev_codes = jnp.asarray(codes)
-    dev_rid = jnp.asarray(run_id)
     dev_mask = jnp.asarray(mask.words_u32)
-    fn = jitted_sketch_batch(window, salt, scale, "modern", capacity)
+    if jax.default_backend() == "tpu":
+        # host-packed upload (once per genome, reused by every config —
+        # window/mask-independent); the step reads the packed planes
+        from spaced_kmer_sketching_tpu.ops.pallas.extract import pack_genomes_np
+        from spaced_kmer_sketching_tpu.ops.sketch import jitted_sketch_batch_packed
+        qc, qr, rid2 = pack_genomes_np(codes, run_id)
+        dev_args = (jnp.asarray(qc), jnp.asarray(qr), jnp.asarray(rid2))
+        fn = jitted_sketch_batch_packed(n, window, salt, scale, "modern",
+                                        capacity)
+    else:
+        dev_args = (jnp.asarray(codes), jnp.asarray(run_id))
+        fn = jitted_sketch_batch(window, salt, scale, "modern", capacity)
 
     def step():
-        return fn(dev_codes, dev_rid, dev_mask)
+        return fn(*dev_args, dev_mask)
 
     out = step()                      # compile + warm
     jax.block_until_ready(out)

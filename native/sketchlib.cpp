@@ -153,6 +153,132 @@ void skt_fasta_copy(void* vh, uint8_t* codes_out, int64_t* run_lens_out) {
 void skt_fasta_close(void* vh) { delete static_cast<FastaHandle*>(vh); }
 
 // ---------------------------------------------------------------------------
+// Streaming FASTA ingest for eukaryote-scale files: bounded memory, exact
+// parity with the whole-file parser above (same record quirks).
+//
+// The space-discard quirk (fasta_processing.cpp:114-118) is RETROACTIVE — a
+// space on line N kills codes already seen for the record — so streaming is
+// two-pass: pass 1 scans line structure only and records the byte region of
+// every emitted string (each string's content lines are one contiguous byte
+// range: any delimiter line would have ended the string there); pass 2
+// streams codes out of those regions, splitting runs at non-ACGT bytes and
+// at string boundaries, '\n' excluded ('\r' kept: it is a run splitter).
+struct StreamHandle {
+    std::ifstream f;
+    std::vector<std::pair<int64_t, int64_t>> regions;  // [start, end) bytes
+    size_t ri = 0;
+    int64_t off = 0;        // current byte offset within regions[ri]
+    int64_t run_open = 0;   // length of the run continuing across next()
+    std::vector<char> buf;
+};
+
+void* skt_fasta_stream_open(const char* path) {
+    std::ifstream f(path, std::ios::binary);
+    if (!f.good()) return nullptr;
+    auto* h = new StreamHandle();
+
+    // pass 1: line scan.  Track per-line: start, has_space, first char.
+    bool have_name = false;          // a record header is active
+    int64_t str_start = -1;          // current string's first content byte
+    int64_t str_end = -1;            // one past the last content byte
+    std::vector<char> buf(1 << 20);
+    int64_t pos = 0;                 // file offset of next unread byte
+    int64_t line_start = 0;
+    bool line_has_space = false, line_any = false;
+    char first_char = 0;
+    auto end_line = [&](int64_t nl_pos) {
+        const bool empty = nl_pos == line_start;
+        if (empty || first_char == '>') {
+            if (have_name && str_start >= 0) {
+                h->regions.emplace_back(str_start, str_end);
+            }
+            if (!empty)                      // header: name = substr(1),
+                have_name = nl_pos - line_start > 1;  // bare '>' -> empty name
+            str_start = str_end = -1;
+        } else if (have_name) {
+            if (line_has_space) {
+                have_name = false;          // discard record
+                str_start = str_end = -1;
+            } else {
+                if (str_start < 0) str_start = line_start;
+                str_end = nl_pos;           // content incl. any '\r'
+            }
+        }
+        line_start = nl_pos + 1;
+        line_has_space = false;
+        line_any = false;
+        first_char = 0;
+    };
+    while (f) {
+        f.read(buf.data(), buf.size());
+        const int64_t got = f.gcount();
+        for (int64_t i = 0; i < got; ++i) {
+            const char c = buf[i];
+            if (c == '\n') {
+                end_line(pos + i);
+            } else {
+                if (!line_any) { first_char = c; line_any = true; }
+                if (c == ' ') line_has_space = true;
+            }
+        }
+        pos += got;
+    }
+    if (line_start < pos) end_line(pos);     // final line without newline
+    if (have_name && str_start >= 0)
+        h->regions.emplace_back(str_start, str_end);
+
+    h->f.open(path, std::ios::binary);
+    h->buf.resize(1 << 20);
+    return h;
+}
+
+// Fill `codes` with up to `cap` 2-bit codes.  Records each run END as an
+// exclusive code index in run_ends (zero-length runs never emitted).  Sets
+// *open_run when the final code's run continues into the next call.
+// Returns the number of codes written (0 = end of stream).
+int64_t skt_fasta_stream_next(void* vh, uint8_t* codes, int64_t cap,
+                              int64_t* run_ends, int64_t* n_run_ends,
+                              int* open_run) {
+    auto* h = static_cast<StreamHandle*>(vh);
+    int64_t n = 0, ends = 0;
+    while (n < cap && h->ri < h->regions.size()) {
+        const auto [rs, re] = h->regions[h->ri];
+        int64_t p = rs + h->off;
+        while (p < re && n < cap) {
+            const int64_t want = std::min<int64_t>(re - p,
+                                                   (int64_t)h->buf.size());
+            h->f.seekg(p);
+            h->f.read(h->buf.data(), want);
+            const int64_t got = h->f.gcount();
+            if (got <= 0) break;
+            for (int64_t i = 0; i < got && n < cap; ++i) {
+                const char c = h->buf[i];
+                if (c == '\n') { ++p; continue; }
+                const int v = code_of(c);
+                if (v & 4) {
+                    if (h->run_open) { run_ends[ends++] = n; h->run_open = 0; }
+                } else {
+                    codes[n++] = static_cast<uint8_t>(v);
+                    ++h->run_open;
+                }
+                ++p;
+            }
+        }
+        h->off = p - rs;
+        if (p >= re) {                 // string boundary: close the run
+            if (h->run_open) { run_ends[ends++] = n; h->run_open = 0; }
+            ++h->ri;
+            h->off = 0;
+        }
+    }
+    *n_run_ends = ends;
+    *open_run = h->run_open > 0 ? 1 : 0;
+    return n;
+}
+
+void skt_fasta_stream_close(void* vh) { delete static_cast<StreamHandle*>(vh); }
+
+// ---------------------------------------------------------------------------
 // Scalar CPU sketching pipeline (baseline + oracle).
 typedef unsigned __int128 u128;
 

@@ -92,41 +92,136 @@ class FracMinHashSketcher:
 
     # ---- single-genome sketching -------------------------------------------------
     def sketch_packed(self, packed: PackedSeqs, name: str = "") -> Sketch:
-        cfg = self.config
-        total = int(packed.codes.size)
-        nwin = packed.total_windows(cfg.window)
-        if nwin <= 0:
-            return Sketch(keys=np.empty((0, 4), np.uint32), count=0,
-                          window=cfg.window, mask=self.mask, name=name)
-        n = _bucket_size(total + cfg.window)  # window-1 halo keeps nw>=1 shapes sane
-        codes = np.zeros(n, dtype=np.uint32)
-        codes[:total] = packed.codes
-        run_id = np.full(n, _PAD_RUN, dtype=np.int32)
-        pos = 0
-        for i, ln in enumerate(packed.run_lens):
-            run_id[pos:pos + int(ln)] = i
-            pos += int(ln)
+        return self.sketch_packed_batch([packed], names=[name])[0]
 
-        capacity = self.config.capacity_for(nwin)
+    def _dispatch_sketch(self, codes: np.ndarray, run_id: np.ndarray,
+                         capacity: int):
+        """Asynchronously dispatch a batch to the device (host pack + upload
+        + enqueue); the heavy host work for batch N+1 then overlaps the
+        device sketching of batch N (the PP analog, SURVEY.md §2.1).  On TPU
+        the genomes are host-packed once (pack_genomes_np) and run the
+        prepacked kernel; elsewhere the portable jnp path."""
+        cfg = self.config
+        from ..ops.sketch import jitted_sketch_batch, jitted_sketch_batch_packed
+        g, n = codes.shape
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas.extract import pack_genomes_np
+            qc, qr, rid = pack_genomes_np(codes, run_id)
+            args = (jnp.asarray(qc), jnp.asarray(qr), jnp.asarray(rid))
+
+            def make(cap):
+                return jitted_sketch_batch_packed(
+                    n, cfg.window, self.salt, cfg.scale, cfg.hash_variant,
+                    cap)
+        else:
+            args = (jnp.asarray(codes), jnp.asarray(run_id))
+
+            def make(cap):
+                return jitted_sketch_batch(cfg.window, self.salt, cfg.scale,
+                                           cfg.hash_variant, cap)
+
+        res = make(capacity)(*args, self._mask_words)
+        return (res, args, make, capacity)
+
+    def _collect_sketch(self, handle):
+        """Force a dispatched batch, running the overflow retry if needed.
+        Returns np (keys, counts, raws)."""
+        res, args, make, capacity = handle
         while True:
-            out = sketch_from_codes(
-                jnp.asarray(codes), jnp.asarray(run_id), self._mask_words,
-                window=cfg.window, salt=self.salt, scale=cfg.scale,
-                variant=cfg.hash_variant, capacity=capacity)
-            raw_kept = int(out.raw_kept)
-            if raw_kept <= capacity:
+            raws = np.asarray(res.raw_kept)
+            raw = int(raws.max())
+            if raw <= capacity:
                 break
-            capacity = 1 << math.ceil(math.log2(raw_kept + 1))
-            log.info("sketch capacity overflow (%d kept) -> retry cap=%d",
-                     raw_kept, capacity)
-        count = int(out.count)
-        keys = np.asarray(out.keys[:count])
-        return Sketch(keys=keys, count=count, window=cfg.window,
-                      mask=self.mask, name=name)
+            capacity = 1 << math.ceil(math.log2(raw + 1))
+            log.info("batched sketch overflow -> retry cap=%d", capacity)
+            res = make(capacity)(*args, self._mask_words)
+        return np.asarray(res.keys), np.asarray(res.count), raws
+
+    def _device_sketch_batch(self, codes: np.ndarray, run_id: np.ndarray,
+                             capacity: int):
+        return self._collect_sketch(
+            self._dispatch_sketch(codes, run_id, capacity))
 
     def sketch_file(self, path: str, use_native: bool = True) -> Sketch:
         packed = read_fasta(path, use_native=use_native)
         return self.sketch_packed(packed, name=path)
+
+    def sketch_file_streaming(self, path: str, segment_nt: int = 1 << 24,
+                              name: str = "") -> Sketch:
+        """Bounded-memory sketch of an arbitrarily large FASTA: the native
+        two-pass streaming parser yields `segment_nt`-code chunks; each
+        chunk is sketched on device with a (window-1)-code carry so windows
+        spanning chunk boundaries are counted exactly once, and per-chunk
+        sketches fold into the accumulator with merge_sketches.  Bit-exact
+        with sketch_file: peak host memory is O(segment_nt + sketch), never
+        O(genome) (SURVEY.md §2.2 item 1; the reference loads whole files,
+        fasta_processing.cpp:208-211)."""
+        from ..ops.sketch import merge_sketches
+        from ..utils import native
+
+        cfg = self.config
+        w = cfg.window
+        carry_codes = np.empty(0, np.uint32)
+        carry_rid = np.empty(0, np.int32)
+        cur_run = 0          # id of the run open at the current position
+        prev_open = True     # position 0 starts run id 0
+        acc_keys: Optional[np.ndarray] = None
+        acc_count = 0
+
+        for codes, run_ends, open_run in native.fasta_stream(path,
+                                                             segment_nt):
+            n = codes.size
+            if not prev_open:
+                cur_run += 1
+            b = np.concatenate([[0], run_ends, [n]]).astype(np.int64)
+            rid = (cur_run + np.repeat(np.arange(len(b) - 1),
+                                       np.diff(b))).astype(np.int32)
+            cur_run += len(run_ends)
+            prev_open = open_run
+
+            seg_codes = np.concatenate([carry_codes,
+                                        codes.astype(np.uint32)])
+            seg_rid = np.concatenate([carry_rid, rid])
+            if w > 1:
+                carry_codes = seg_codes[-(w - 1):]
+                carry_rid = seg_rid[-(w - 1):]
+
+            keys, count = self._sketch_arrays(seg_codes, seg_rid)
+            if count == 0:
+                continue
+            if acc_keys is None:
+                acc_keys, acc_count = keys, count
+                continue
+            capm = max(256, _next_pow2(acc_count + count))
+            stack = np.full((2, capm, 4), 0xFFFFFFFF, np.uint32)
+            stack[0, :acc_count] = acc_keys
+            stack[1, :count] = keys
+            merged = merge_sketches(
+                jnp.asarray(stack),
+                jnp.asarray(np.array([acc_count, count], np.int32)), capm)
+            acc_count = int(merged.count)
+            acc_keys = np.asarray(merged.keys[:acc_count])
+
+        return Sketch(keys=acc_keys if acc_keys is not None
+                      else np.empty((0, 4), np.uint32),
+                      count=acc_count, window=w, mask=self.mask, name=name)
+
+    def _sketch_arrays(self, codes: np.ndarray, run_id: np.ndarray):
+        """Device sketch of prebuilt code/run-id arrays with the standard
+        capacity-overflow retry; returns (keys (count, 4), count)."""
+        cfg = self.config
+        nw = codes.size - cfg.window + 1
+        if nw <= 0:
+            return np.empty((0, 4), np.uint32), 0
+        n = _bucket_size(codes.size + cfg.window)
+        cbuf = np.zeros((1, n), np.uint32)
+        cbuf[0, :codes.size] = codes
+        rbuf = np.full((1, n), _PAD_RUN, np.int32)
+        rbuf[0, :run_id.size] = run_id
+        keys, counts, _ = self._device_sketch_batch(cbuf, rbuf,
+                                                    cfg.capacity_for(nw))
+        count = int(counts[0])
+        return keys[0, :count], count
 
     def sketch_files(self, paths: Sequence[str], max_workers: int = 8,
                      on_error: str = "raise") -> List[Sketch]:
@@ -163,7 +258,6 @@ class FracMinHashSketcher:
                             names: Optional[Sequence[str]] = None
                             ) -> List[Sketch]:
         """Sketch many genomes, batching same-shaped ones per dispatch."""
-        from ..ops.sketch import jitted_sketch_batch
         cfg = self.config
         names = names or [""] * len(packed_list)
         out: List[Optional[Sketch]] = [None] * len(packed_list)
@@ -178,7 +272,31 @@ class FracMinHashSketcher:
             n = _bucket_size(int(pk.codes.size) + cfg.window)
             groups.setdefault(n, []).append((i, pk, nwin))
 
+        # double-buffered dispatch: host-pack chunk k+1 while the device
+        # sketches chunk k (dispatch is async; collect forces completion)
+        chunk_g = 8
+        chunks = []
         for n, members in groups.items():
+            for off in range(0, len(members), chunk_g):
+                chunks.append((n, members[off:off + chunk_g]))
+
+        def finalize(pending):
+            members, handle = pending
+            keys, counts, raws = self._collect_sketch(handle)
+            for j, (i, pk, nw) in enumerate(members):
+                c = int(counts[j])
+                out[i] = Sketch(keys=keys[j, :c].copy(), count=c,
+                                window=cfg.window, mask=self.mask,
+                                name=names[i])
+                # parity-check counters (SURVEY.md §5)
+                obs_count("runs", int(pk.run_lens.size))
+                obs_count("windows", nw)
+                obs_count("kept_kmers", int(raws[j]))
+                obs_count("unique_kmers", c)
+            obs_count("genomes", len(members))
+
+        pending = None
+        for n, members in chunks:
             g = len(members)
             codes = np.zeros((g, n), dtype=np.uint32)
             run_id = np.full((g, n), _PAD_RUN, dtype=np.int32)
@@ -190,30 +308,12 @@ class FracMinHashSketcher:
                     run_id[j, pos:pos + int(ln)] = rid
                     pos += int(ln)
             capacity = max(cfg.capacity_for(nw) for _, _, nw in members)
-            dc, dr = jnp.asarray(codes), jnp.asarray(run_id)
-            while True:
-                fn = jitted_sketch_batch(cfg.window, self.salt, cfg.scale,
-                                         cfg.hash_variant, capacity)
-                res = fn(dc, dr, self._mask_words)
-                raw = int(np.asarray(res.raw_kept).max())
-                if raw <= capacity:
-                    break
-                capacity = 1 << math.ceil(math.log2(raw + 1))
-                log.info("batched sketch overflow -> retry cap=%d", capacity)
-            keys = np.asarray(res.keys)
-            counts = np.asarray(res.count)
-            raws = np.asarray(res.raw_kept)
-            for j, (i, pk, nw) in enumerate(members):
-                c = int(counts[j])
-                out[i] = Sketch(keys=keys[j, :c].copy(), count=c,
-                                window=cfg.window, mask=self.mask,
-                                name=names[i])
-                # parity-check counters (SURVEY.md §5)
-                obs_count("runs", int(pk.run_lens.size))
-                obs_count("windows", nw)
-                obs_count("kept_kmers", int(raws[j]))
-                obs_count("unique_kmers", c)
-            obs_count("genomes", g)
+            handle = self._dispatch_sketch(codes, run_id, capacity)
+            if pending is not None:
+                finalize(pending)
+            pending = (members, handle)
+        if pending is not None:
+            finalize(pending)
         return out  # type: ignore[return-value]
 
     # ---- pairwise / all-pairs ANI ------------------------------------------------

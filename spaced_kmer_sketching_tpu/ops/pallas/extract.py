@@ -349,14 +349,52 @@ def extract_filter_windows(codes, run_id, mask_words, *, window: int,
     return tuple(c[0] for c in canon), keep[0]
 
 
+def packed_body(n: int) -> int:
+    """Window-INDEPENDENT padded code count for n-nt genomes: covers the
+    largest possible window-block grid plus the trailing halo, so one packed
+    upload serves every (window, k) config of a sweep."""
+    nwp_max = ((n + BLOCK - 1) // BLOCK) * BLOCK
+    return nwp_max + HALO_ROWS * LANES - BLOCK
+
+
+def pack_genomes_np(codes, run_id):
+    """HOST-side prep for the packed kernel (numpy, once per genome upload):
+    pad, 16-per-u32 pack the complemented and the reversed code streams,
+    expand to window-index space, prepend _LEAD pad rows.
+
+    Packing is window- and mask-independent, so the sweep reuses one upload
+    for all 62 configs.  Doing this at ingest (not in-jit) matters: the jnp
+    formulation lowered to while-loops + dynamic slices costing ~10 ms per
+    2M-nt batch step — more than the extraction kernel itself.
+
+    codes (G, n) uint8/32 values 0..3; run_id (G, n) int32.
+    Returns (qc, qr, rid) as (G, rows, 128) device-layout arrays."""
+    import numpy as np
+    g, n = codes.shape
+    body = packed_body(n)
+    c = np.zeros((g, body), np.uint8)
+    c[:, :n] = codes
+    r = np.full((g, body), -1, np.int32)
+    r[:, :n] = run_id
+    cc = c.reshape(g, body // 16, 16).astype(np.uint32)
+    w = np.uint32(1) << (2 * np.arange(16, dtype=np.uint32))
+    pc = ((np.uint32(3) - cc) * w).sum(-1, dtype=np.uint32)
+    pr = (cc[..., ::-1] * w).sum(-1, dtype=np.uint32)
+    lead32 = np.zeros((g, _LEAD), np.uint32)
+    qc = np.concatenate([lead32, np.repeat(pc, 16, axis=1)], axis=1)
+    qr = np.concatenate([lead32, np.repeat(pr, 16, axis=1)], axis=1)
+    rid = np.concatenate([np.full((g, _LEAD), -1, np.int32), r], axis=1)
+    return (qc.reshape(g, -1, LANES), qr.reshape(g, -1, LANES),
+            rid.reshape(g, -1, LANES))
+
+
 def _pad_batch_packed(codes, run_id, window):
-    """XLA-level prep for the packed kernel: pad, 16-per-u32 pack both
-    derived streams (complemented sequence order + reversed order), repeat
-    16x to window-index space, and prepend _LEAD pad codes."""
+    """In-jit prep for legacy callers (multi-seed, tests): same layout as
+    pack_genomes_np but traced.  Hot paths pre-pack on host instead."""
     g, n = codes.shape
     nw = n - window + 1
     nwp = ((nw + BLOCK - 1) // BLOCK) * BLOCK
-    need = nwp + HALO_ROWS * LANES - BLOCK
+    need = packed_body(n)
     pad = need - n
     if pad > 0:
         codes = jnp.concatenate(
@@ -411,8 +449,20 @@ def extract_compact_windows_batched(codes, run_id, mask_words, *,
     per-element masks/salts make the batch axis carry spaced SEEDS over one
     genome (fused multi-seed sketching)."""
     assert window <= 64, "window exceeds MAX_KMER_LENGTH"
-    g = codes.shape[0]
     qc2, qr2, rid2, nw, nwp = _pad_batch_packed(codes, run_id, window)
+    return extract_compact_windows_prepacked(
+        qc2, qr2, rid2, mask_words, nw=nw, window=window, salt=salt,
+        scale=scale, variant=variant, k_slots=k_slots, interpret=interpret)
+
+
+def extract_compact_windows_prepacked(qc2, qr2, rid2, mask_words, *,
+                                      nw: int, window: int, salt, scale: int,
+                                      variant: str, k_slots: int,
+                                      interpret: bool = False):
+    """Kernel entry on pre-packed (G, rows, 128) planes from pack_genomes_np
+    (or _pad_batch_packed); nw = true window count of the original codes."""
+    g = qc2.shape[0]
+    nwp = ((nw + BLOCK - 1) // BLOCK) * BLOCK
     rows = nwp // LANES
 
     mask_words, salts = _norm_mask_salt(mask_words, salt, g)

@@ -150,24 +150,61 @@ def sketch_batch(codes, run_id, mask_words, *, window: int, salt: int,
     return jax.vmap(fn, in_axes=(0, 0, None))(codes, run_id, mask_words)
 
 
+def _k_slots_for(nw: int, scale: int, capacity: int) -> int:
+    """Per-row candidate slots: k_slots also grows with capacity so the
+    overflow->retry loop terminates even on adversarial inputs (e.g. a
+    surviving k-mer repeated across a whole row): at k_slots=128 overflow
+    is impossible (a row has only 128 windows)."""
+    rows = max(1, (nw + 127) // 128)
+    grow = 1 << max(0, (4 * capacity // rows - 1).bit_length())
+    return min(128, max(slots_for_scale(scale), grow))
+
+
 def _sketch_batch_pallas(codes, run_id, mask_words, salt, *, window: int,
                          scale: int, variant: str, capacity: int,
                          interpret: bool = False) -> SketchBatch:
     """TPU path shared by genome batches (one mask broadcast) and fused
     multi-seed (per-element masks/salts)."""
-    from .pallas.extract import BLOCK, extract_compact_windows_batched
-    # k_slots also grows with capacity so the overflow->retry loop
-    # terminates even on adversarial inputs (e.g. a surviving k-mer
-    # repeated across a whole row): at k_slots=128 overflow is
-    # impossible (a row has only 128 windows).
-    nw = codes.shape[1] - window + 1
-    rows = max(1, (nw + 127) // 128)
-    grow = 1 << max(0, (4 * capacity // rows - 1).bit_length())
-    k_slots = min(128, max(slots_for_scale(scale), grow))
+    from .pallas.extract import extract_compact_windows_batched
 
+    nw = codes.shape[1] - window + 1
+    k_slots = _k_slots_for(nw, scale, capacity)
     words, rowcnt, _ = extract_compact_windows_batched(
         codes, run_id, mask_words, window=window, salt=salt, scale=scale,
         variant=variant, k_slots=k_slots, interpret=interpret)
+    return _finish_dispatch(words, rowcnt, nw, k_slots, capacity, scale,
+                            interpret)
+
+
+def sketch_batch_packed(qc, qr, rid, mask_words, *, n: int, window: int,
+                        salt, scale: int, variant: str, capacity: int,
+                        interpret: bool = False) -> SketchBatch:
+    """Batched sketch step on HOST-prepacked genome planes (see
+    ops/pallas/extract.pack_genomes_np): the hot-loop entry for ingest
+    pipelines and the benchmark — packing is window/mask-independent and
+    hoisted to upload time, so a 62-config sweep re-reads one upload."""
+    from .pallas.extract import extract_compact_windows_prepacked
+
+    nw = n - window + 1
+    k_slots = _k_slots_for(nw, scale, capacity)
+    words, rowcnt, _ = extract_compact_windows_prepacked(
+        qc, qr, rid, mask_words, nw=nw, window=window, salt=salt,
+        scale=scale, variant=variant, k_slots=k_slots, interpret=interpret)
+    return _finish_dispatch(words, rowcnt, nw, k_slots, capacity, scale,
+                            interpret)
+
+
+@functools.lru_cache(maxsize=128)
+def jitted_sketch_batch_packed(n: int, window: int, salt: int, scale: int,
+                               variant: str, capacity: int):
+    return jax.jit(functools.partial(
+        sketch_batch_packed, n=n, window=window, salt=salt, scale=scale,
+        variant=variant, capacity=capacity))
+
+
+def _finish_dispatch(words, rowcnt, nw: int, k_slots: int, capacity: int,
+                     scale: int, interpret: bool) -> SketchBatch:
+    from .pallas.extract import BLOCK
 
     g = words[0].shape[0]
     m = words[0].shape[1]

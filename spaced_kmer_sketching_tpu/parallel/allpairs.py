@@ -39,6 +39,59 @@ def sharded_all_pairs_fn(mesh: Mesh):
     return run
 
 
+def sharded_all_pairs_rect_fn(mesh: Mesh):
+    """Jitted rectangular tile: (keys_r (R, cap, 4), counts_r, keys_c
+    (C, cap, 4), counts_c) -> (R, C) int32; R divisible by the "r" axis, C
+    by the "c" axis.  The building block of the blocked 10k-genome schedule
+    (blocked_all_pairs): row blocks stay device-resident while column
+    blocks stream through."""
+    sharded = shard_map(
+        intersection_tile, mesh=mesh,
+        in_specs=(P(ROW_AXIS), P(ROW_AXIS), P(COL_AXIS), P(COL_AXIS)),
+        out_specs=P(ROW_AXIS, COL_AXIS))
+    return jax.jit(sharded)
+
+
+def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
+                      out=None):
+    """Memory-bounded all-pairs schedule for genome counts whose stacked
+    sketches exceed device memory: the (G, G) matrix is computed in
+    (block x block) macro-tiles, each tiled over the mesh by
+    sharded_all_pairs_rect_fn.  `keys` may be a numpy array or a callable
+    block-provider `keys(i0, i1) -> (np keys (i1-i0, cap, 4), np counts)`
+    (e.g. reading from store.SketchStore) so the full matrix operand never
+    materializes in host memory either.
+
+    Row blocks are uploaded once and reused across the whole column sweep —
+    the block-row/column reuse schedule of SURVEY.md §7 (reference semantics:
+    ordered pairs incl. self, generators.hpp:45-58)."""
+    import numpy as np
+
+    if callable(keys):
+        provider = keys
+        g = counts
+    else:
+        kk, cc = keys, counts
+        g = kk.shape[0]
+
+        def provider(i0, i1):
+            return kk[i0:i1], cc[i0:i1]
+
+    fn = sharded_all_pairs_rect_fn(mesh)
+    out = out if out is not None else np.zeros((g, g), np.int32)
+    nb = (g + block - 1) // block
+    for bi in range(nb):
+        r0, r1 = bi * block, min(g, (bi + 1) * block)
+        krow, crow = provider(r0, r1)
+        dk_r, dc_r = jnp.asarray(krow), jnp.asarray(crow)
+        for bj in range(nb):
+            c0, c1 = bj * block, min(g, (bj + 1) * block)
+            kcol, ccol = (dk_r, dc_r) if bj == bi else provider(c0, c1)
+            tile = fn(dk_r, dc_r, jnp.asarray(kcol), jnp.asarray(ccol))
+            out[r0:r1, c0:c1] = np.asarray(tile)
+    return out
+
+
 def sharded_ani_fn(mesh: Mesh, care_positions: int):
     """Jitted (keys, counts) -> (inter (G, G) int32, ani (G, G) f32) with the
     reference's containment/estimator semantics on device

@@ -45,14 +45,67 @@ def _pairs_fn(mesh: Mesh):
     return sharded_all_pairs_fn(mesh)
 
 
+@functools.lru_cache(maxsize=64)
+def _seq_fn(mesh: Mesh, window: int, salt: int, scale: int, variant: str,
+            capacity: int):
+    from .sequence import sequence_parallel_sketch_fn
+    return sequence_parallel_sketch_fn(mesh, window=window, salt=salt,
+                                       scale=scale, variant=variant,
+                                       capacity=capacity)
+
+
 class MeshSketcher(FracMinHashSketcher):
     """FracMinHashSketcher whose batched steps run sharded over a mesh."""
 
+    #: genomes at or above this many nucleotides switch to sequence-parallel
+    #: chunked extraction (the CP analog: ppermute halo ring, SURVEY.md §2.1)
+    seq_par_threshold: int = 1 << 22
+
     def __init__(self, config: SketchConfig, mesh: Optional[Mesh] = None,
-                 mask=None):
+                 mask=None, seq_par_threshold: Optional[int] = None):
         super().__init__(config, mask)
         self.mesh = mesh if mesh is not None else global_mesh()
         self.mesh_size = int(np.prod(list(self.mesh.shape.values())))
+        if seq_par_threshold is not None:
+            self.seq_par_threshold = seq_par_threshold
+
+    # ---- long genomes: sequence-parallel halo-ring extraction --------------
+    def sketch_packed(self, packed, name: str = "") -> Sketch:
+        cfg = self.config
+        nwin = packed.total_windows(cfg.window)
+        if nwin <= 0 or int(packed.codes.size) < self.seq_par_threshold:
+            return super().sketch_packed(packed, name)
+
+        total = int(packed.codes.size)
+        # pad to a multiple of (mesh_size * 128) so every chunk is lane-tiled
+        quantum = self.mesh_size * 128
+        n = pad_to_multiple(total + cfg.window, quantum)
+        codes = np.zeros(n, dtype=np.uint32)
+        codes[:total] = packed.codes
+        run_id = np.full(n, -1, dtype=np.int32)
+        pos = 0
+        for i, ln in enumerate(packed.run_lens):
+            run_id[pos:pos + int(ln)] = i
+            pos += int(ln)
+
+        import jax.numpy as jnp
+        dc, dr = jnp.asarray(codes), jnp.asarray(run_id)
+        capacity = cfg.capacity_for(nwin)
+        while True:
+            fn = _seq_fn(self.mesh, cfg.window, self.salt, cfg.scale,
+                         cfg.hash_variant, capacity)
+            out = fn(dc, dr, self._mask_words)
+            raw = int(self._get(out.raw_kept).max())
+            if raw <= capacity:
+                break
+            # raw (total pre-dedup kept) >= the merged unique total, so a
+            # chunk overflow AND a merge truncation both trip this retry
+            capacity = 1 << math.ceil(math.log2(raw + 1))
+            log.info("sequence-parallel overflow -> retry cap=%d", capacity)
+        count = int(self._get(out.count).ravel()[0])
+        keys = self._get(out.keys).reshape(-1, 4)[:count]
+        return Sketch(keys=keys.copy(), count=count, window=cfg.window,
+                      mask=self.mask, name=name)
 
     # ---- ingest: each process parses only its own shard --------------------
     def sketch_files(self, paths: Sequence[str], max_workers: int = 8,

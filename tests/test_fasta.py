@@ -111,3 +111,63 @@ def test_total_windows():
                     run_lens=np.array([7, 3], dtype=np.int64))
     assert pk.total_windows(5) == 3  # run of 3 too short
     assert pk.total_windows(3) == 5 + 1
+
+
+def test_streaming_parser_matches_whole_file(tmp_path):
+    """The two-pass streaming parser yields the same code/run stream as the
+    whole-file parser across all record quirks and chunk boundaries."""
+    from spaced_kmer_sketching_tpu.ingest.fasta import read_fasta
+    from spaced_kmer_sketching_tpu.utils import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    p = tmp_path / "quirks.fa"
+    p.write_text(
+        ">r1\nACGTACGTNNACGT\nacgt\n"      # lowercase + run split
+        ">r2\nAC GT\nACGTACGT\n"           # space discards r2 entirely
+        ">\nACGT\n"                        # bare '>': empty name, ignored
+        ">r3\nACGTAC\n\nGTGT\n"            # blank-line flush: two strings
+        ">r4 desc\nACG\r\nTTT\n"           # CRLF: \r splits the run
+    )
+    packed = read_fasta(str(p))
+    want_codes = packed.codes
+    want_lens = packed.run_lens.tolist()
+
+    for chunk in (3, 7, 64, 4096):
+        codes_all, lens, cur = [], [], 0
+        prev_open = False
+        for codes, run_ends, open_run in native.fasta_stream(str(p), chunk):
+            b = [0] + run_ends.tolist() + [codes.size]
+            segs = [b[i + 1] - b[i] for i in range(len(b) - 1)]
+            if prev_open and lens:
+                lens[-1] += segs[0]
+                segs = segs[1:]
+            lens.extend(s for s in segs)
+            codes_all.append(codes)
+            prev_open = open_run
+        lens = [x for x in lens if x > 0]
+        got_codes = np.concatenate(codes_all) if codes_all else np.empty(0)
+        np.testing.assert_array_equal(got_codes, want_codes)
+        assert lens == want_lens, (chunk, lens, want_lens)
+
+
+def test_streaming_sketch_bitexact(tmp_path):
+    """sketch_file_streaming == sketch_file across chunk-boundary windows,
+    run splits, and multi-record files."""
+    from spaced_kmer_sketching_tpu.config import SketchConfig
+    from spaced_kmer_sketching_tpu.models.fracminhash import FracMinHashSketcher
+    from spaced_kmer_sketching_tpu.utils import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(23)
+    seq = "".join("ACGT"[c] for c in rng.integers(0, 4, 30000))
+    seq = seq[:9000] + "NN" + seq[9000:]
+    p = tmp_path / "g.fa"
+    p.write_text(f">a\n{seq[:20000]}\n>b\n{seq[20000:]}\n")
+    sk = FracMinHashSketcher(SketchConfig(window=20, k=16, scale=20))
+    want = sk.sketch_file(str(p))
+    for segment in (1 << 12, 1 << 14):
+        got = sk.sketch_file_streaming(str(p), segment_nt=segment)
+        assert got.count == want.count, segment
+        np.testing.assert_array_equal(got.keys, want.keys)

@@ -245,3 +245,34 @@ def test_packed_kernel_window_sweep(window, k):
                        | int(w[2][i]) << 64 | int(w[3][i]) << 96)
     assert sorted(got) == want
     assert rc.sum() == keep_r.sum()
+
+
+def test_sketch_batch_packed_interpret():
+    """Host-prepacked planes (pack_genomes_np) through the prepacked kernel
+    bit-match the portable path — the ingest-pipeline hot entry."""
+    import functools
+    import jax
+    from spaced_kmer_sketching_tpu.ops.pallas.extract import pack_genomes_np
+    from spaced_kmer_sketching_tpu.ops.sketch import (sketch_batch_packed,
+                                                      sketch_core)
+    window, k, scale, cap = 20, 16, 200, 1024
+    mask = spaced_seed_mask(window, k, 0)
+    salt = boosthash.fmh_salt(mask.lo, mask.hi, window, 1, "modern")
+    rng = np.random.default_rng(8)
+    G, n = 2, 70000
+    codes = rng.integers(0, 4, (G, n)).astype(np.uint8)
+    rid = np.stack([run_ids_from_lens([n // 2, n - n // 2], n)] * G)
+    mw = jnp.asarray(mask.words_u32)
+    qc, qr, rid2 = pack_genomes_np(codes, rid)
+    got = sketch_batch_packed(jnp.asarray(qc), jnp.asarray(qr),
+                              jnp.asarray(rid2), mw, n=n, window=window,
+                              salt=salt, scale=scale, variant="modern",
+                              capacity=cap, interpret=True)
+    fn = functools.partial(sketch_core, window=window, salt=salt,
+                           scale=scale, variant="modern", capacity=cap)
+    want = jax.vmap(fn, in_axes=(0, 0, None))(
+        jnp.asarray(codes.astype(np.uint32)), jnp.asarray(rid), mw)
+    np.testing.assert_array_equal(np.asarray(got.count),
+                                  np.asarray(want.count))
+    np.testing.assert_array_equal(np.asarray(got.keys),
+                                  np.asarray(want.keys))

@@ -203,3 +203,37 @@ def test_distributed_helpers_single_process():
     mesh = global_mesh()
     assert mesh.devices.size == jax.device_count()
     assert process_shard(10) == slice(0, 10)
+
+
+def test_mesh_sketcher_seq_parallel_bitexact():
+    """A long genome through MeshSketcher.sketch_packed (sequence-parallel
+    halo ring) is bit-identical to the single-device sketch, including when
+    the initial capacity overflows and the host retry kicks in."""
+    from spaced_kmer_sketching_tpu.config import SketchConfig
+    from spaced_kmer_sketching_tpu.ingest.fasta import PackedSeqs
+    from spaced_kmer_sketching_tpu.models.fracminhash import FracMinHashSketcher
+    from spaced_kmer_sketching_tpu.parallel.mesh import make_mesh
+    from spaced_kmer_sketching_tpu.parallel.sketcher import MeshSketcher
+
+    rng = np.random.default_rng(17)
+    n = 50_000
+    codes = rng.integers(0, 4, n).astype(np.uint8)
+    # two runs: one non-ACGT split lands mid-sequence
+    packed = PackedSeqs(codes=codes,
+                        run_lens=np.array([n // 3, n - n // 3], np.int64))
+
+    cfg = SketchConfig(window=20, k=16, scale=20)
+    want = FracMinHashSketcher(cfg).sketch_packed(packed, name="g")
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    ms = MeshSketcher(cfg, mesh, seq_par_threshold=1)   # force the CP path
+    got = ms.sketch_packed(packed, name="g")
+    assert got.count == want.count
+    np.testing.assert_array_equal(got.keys, want.keys)
+
+    # overflow: force a tiny starting capacity via sketch_capacity
+    cfg2 = SketchConfig(window=20, k=16, scale=20, sketch_capacity=256)
+    ms2 = MeshSketcher(cfg2, mesh, seq_par_threshold=1)
+    got2 = ms2.sketch_packed(packed, name="g")
+    assert got2.count == want.count
+    np.testing.assert_array_equal(got2.keys, want.keys)
