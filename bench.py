@@ -222,7 +222,7 @@ def bench_allpairs(args) -> int:
     # under-measuring via block_until_ready, which can return before
     # completion through the axon tunnel)
     from spaced_kmer_sketching_tpu.ops.intersect import all_pairs_matrix
-    tile = min(g, 32)
+    tile = min(g, 8)
 
     @jax.jit
     def allpairs():

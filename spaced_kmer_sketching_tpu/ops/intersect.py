@@ -73,10 +73,14 @@ def intersection_tile(keys_rows, count_rows, keys_cols, count_cols):
     return jax.vmap(one_row)(keys_rows, count_rows)
 
 
-def all_pairs_matrix(keys, counts, *, row_tile: int = 32):
+def all_pairs_matrix(keys, counts, *, row_tile: int = 8):
     """Full (G, G) intersection matrix in ONE jittable program: an on-device
     lax.map over row tiles bounds the (row_tile, G, cap) probe intermediates
-    without host round-trips per tile.  G must divide by row_tile."""
+    without host round-trips per tile.  G must divide by row_tile.
+
+    row_tile stays small: each binary-search step materializes
+    (row_tile, G, cap) x 5 word planes — at cap 8192, G 128, row_tile 8
+    that is ~170 MB live; 32 took the worker down."""
     g, cap, _ = keys.shape
     assert g % row_tile == 0, (g, row_tile)
 

@@ -237,3 +237,36 @@ def test_mesh_sketcher_seq_parallel_bitexact():
     got2 = ms2.sketch_packed(packed, name="g")
     assert got2.count == want.count
     np.testing.assert_array_equal(got2.keys, want.keys)
+
+
+def test_blocked_all_pairs_matches_tile():
+    """The memory-bounded block-row/column schedule (10k-genome path)
+    reproduces the monolithic tile matrix, including a store-style
+    block provider."""
+    from spaced_kmer_sketching_tpu.ops.intersect import intersection_tile
+    from spaced_kmer_sketching_tpu.parallel.allpairs import blocked_all_pairs
+    from spaced_kmer_sketching_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(31)
+    g, cap = 16, 256
+    keys = np.full((g, cap, 4), 0xFFFFFFFF, np.uint32)
+    counts = np.zeros(g, np.int32)
+    pool = np.unique(rng.integers(0, 1 << 30, 400).astype(np.uint32))
+    for i in range(g):
+        vals = np.unique(rng.choice(pool, 150))
+        keys[i, :vals.size, 0] = vals
+        keys[i, :vals.size, 1:3] = 0
+        keys[i, :vals.size, 3] = 0
+        counts[i] = vals.size
+    mesh = make_mesh(devices=jax.devices()[:8])
+    want = np.asarray(intersection_tile(jnp.asarray(keys),
+                                        jnp.asarray(counts),
+                                        jnp.asarray(keys),
+                                        jnp.asarray(counts)))
+    got = blocked_all_pairs(mesh, keys, counts, block=8)
+    np.testing.assert_array_equal(got, want)
+
+    def provider(i0, i1):
+        return keys[i0:i1], counts[i0:i1]
+    got2 = blocked_all_pairs(mesh, provider, g, block=8)
+    np.testing.assert_array_equal(got2, want)

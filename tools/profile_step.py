@@ -30,18 +30,22 @@ def main():
     codes = rng.integers(0, 4, (g, n)).astype(np.uint32)
     run_id = np.stack([run_ids_from_lens([n], n)] * g)
     capacity = 1 << max(10, (max(1, 2 * n // scale)).bit_length())
-    dev_codes, dev_rid = jnp.asarray(codes), jnp.asarray(run_id)
+    from spaced_kmer_sketching_tpu.ops.pallas.extract import pack_genomes_np
+    from spaced_kmer_sketching_tpu.ops.sketch import jitted_sketch_batch_packed
+    qc, qr, rid2 = pack_genomes_np(codes, run_id)
+    dev_args = (jnp.asarray(qc), jnp.asarray(qr), jnp.asarray(rid2))
     dev_mask = jnp.asarray(mask.words_u32)
-    fn = jitted_sketch_batch(window, salt, scale, "modern", capacity)
-    out = fn(dev_codes, dev_rid, dev_mask)
-    jax.block_until_ready(out)
+    fn = jitted_sketch_batch_packed(n, window, salt, scale, "modern",
+                                    capacity)
+    out = fn(*dev_args, dev_mask)
+    np.asarray(out.count)
 
     tdir = "/tmp/sks_trace"
     os.system(f"rm -rf {tdir}")
     with jax.profiler.trace(tdir):
         for _ in range(4):
-            out = fn(dev_codes, dev_rid, dev_mask)
-        jax.block_until_ready(out)
+            out = fn(*dev_args, dev_mask)
+        np.asarray(out.count)
 
     traces = glob.glob(f"{tdir}/**/*.trace.json.gz", recursive=True)
     assert traces, "no trace found"
