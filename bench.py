@@ -45,6 +45,9 @@ def main() -> int:
                     help="genomes per device dispatch in --mode sketch")
     ap.add_argument("--no-verify", action="store_true",
                     help="skip the on-hardware key-level parity gate")
+    ap.add_argument("--probe", action="store_true",
+                    help="allpairs: use the XLA binary-search probe instead "
+                         "of the Pallas bucketized kernel")
     args = ap.parse_args()
     if args.iters < 1:
         ap.error("--iters must be >= 1")
@@ -188,11 +191,16 @@ def main() -> int:
 
 
 def bench_allpairs(args) -> int:
-    """G x G all-pairs ANI matrix throughput (BASELINE.json config 2)."""
+    """G x G all-pairs ANI matrix throughput (BASELINE.json config 2).
+
+    Default path: the Pallas bucketized-intersection kernel
+    (ops/pallas/bucket_intersect.py) — layouts built host-side once per
+    sketch, exact spill correction, full-matrix verification against the
+    native C++ sorted-merge.  --probe falls back to the XLA binary-search
+    probe (measured 287 pairs/s on this TPU: gathers serialize)."""
     import time
     import jax
     import jax.numpy as jnp
-    from spaced_kmer_sketching_tpu.ops.intersect import intersection_tile
     from spaced_kmer_sketching_tpu.utils import native
 
     g = args.genomes
@@ -212,31 +220,84 @@ def bench_allpairs(args) -> int:
         keys_np[i, :u.size, 1] = (u >> 32).astype(np.uint32)
         keys_np[i, :u.size, 2] = 0
         keys_np[i, :u.size, 3] = 0
-    keys = jnp.asarray(keys_np)
-    counts = jnp.asarray(counts_np)
+    if args.probe:
+        keys = jnp.asarray(keys_np)
+        counts = jnp.asarray(counts_np)
 
-    # one jitted program computes the whole G x G matrix: lax.map over row
-    # tiles keeps the (T, G, cap) probe intermediates bounded while leaving
-    # the loop on-device (the round-1 bench re-sliced and dispatched each
-    # 32x32 tile from host Python, paying per-tile dispatch overhead AND
-    # under-measuring via block_until_ready, which can return before
-    # completion through the axon tunnel)
-    from spaced_kmer_sketching_tpu.ops.intersect import all_pairs_matrix
-    tile = min(g, 8)
+        # one jitted program computes the whole G x G matrix: lax.map over
+        # row tiles keeps the (T, G, cap) probe intermediates bounded while
+        # leaving the loop on-device
+        from spaced_kmer_sketching_tpu.ops.intersect import all_pairs_matrix
+        tile = min(g, 8)
 
-    @jax.jit
-    def allpairs():
-        return all_pairs_matrix(keys, counts, row_tile=tile)
+        @jax.jit
+        def allpairs():
+            return all_pairs_matrix(keys, counts, row_tile=tile)
 
-    out = allpairs()
-    checksum = int(np.asarray(out.sum()))        # forced completion
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
         out = allpairs()
-    assert int(np.asarray(out.sum())) == checksum
-    dt = (time.perf_counter() - t0) / args.iters
+        checksum = int(np.asarray(out.sum()))    # forced completion
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = allpairs()
+        assert int(np.asarray(out.sum())) == checksum
+        dt = (time.perf_counter() - t0) / args.iters
+        mat = np.asarray(out).astype(np.int64)
+        build_ms = corr_ms = 0.0
+    else:
+        from spaced_kmer_sketching_tpu.ops.bucketized import (
+            build_bucket_layout, spill_correction)
+        from spaced_kmer_sketching_tpu.ops.pallas.bucket_intersect import (
+            bucket_intersect_padded, unpad_matrix)
+        window = args.window
+        t0 = time.perf_counter()
+        planes_np, spills = build_bucket_layout(keys_np, counts_np, window)
+        build_ms = (time.perf_counter() - t0) * 1e3
+        nl = planes_np.shape[1] // 4
+        planes = jnp.asarray(planes_np)
+        interp = jax.default_backend() != "tpu"
+
+        def allpairs():
+            return bucket_intersect_padded(planes, slots=4, nl=nl,
+                                           interpret=interp)
+
+        out = allpairs()
+        checksum = int(np.asarray(out.sum()))    # compile + force
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = allpairs()
+        assert int(np.asarray(out.sum())) == checksum
+        dt = (time.perf_counter() - t0) / args.iters
+        t0 = time.perf_counter()
+        mat = unpad_matrix(out, g, 8)
+        if any(len(s) for s in spills):
+            mat = mat + spill_correction(keys_np, counts_np, spills)
+        corr_ms = (time.perf_counter() - t0) * 1e3
     pairs = g * g
     tpu_rate = pairs / dt
+
+    verified = None
+    if native.available() and not args.no_verify:
+        # FULL-matrix parity vs the independent native sorted-merge
+        verified = True
+        u64s_v = []
+        for i in range(g):
+            c = counts_np[i]
+            lo = (keys_np[i, :c, 0].astype(np.uint64)
+                  | (keys_np[i, :c, 1].astype(np.uint64) << 32))
+            hi = (keys_np[i, :c, 2].astype(np.uint64)
+                  | (keys_np[i, :c, 3].astype(np.uint64) << 32))
+            u64s_v.append(np.ascontiguousarray(np.stack([lo, hi], axis=1)))
+        for i in range(g):
+            for j in range(g):
+                want = native.intersect_sorted(u64s_v[i], u64s_v[j])
+                if int(mat[i, j]) != want:
+                    verified = False
+                    print(f"VERIFY FAIL allpairs ({i},{j}): device "
+                          f"{int(mat[i, j])} vs native {want}",
+                          file=sys.stderr)
+                    break
+            if verified is False:
+                break
 
     cpu_rate = None
     if native.available():
@@ -266,9 +327,12 @@ def bench_allpairs(args) -> int:
         "baseline_cpu_scalar_pairs_per_s": round(cpu_rate, 1) if cpu_rate else None,
         "platform": jax.devices()[0].platform,
         "genomes": g, "sketch_cap": cap, "step_ms": round(dt * 1e3, 3),
+        "layout_build_ms": round(build_ms, 3),
+        "correction_ms": round(corr_ms, 3),
+        "verified": verified,
     }
     print(json.dumps(result))
-    return 0
+    return 0 if verified in (True, None) else 1
 
 
 if __name__ == "__main__":
