@@ -114,34 +114,18 @@ def build_bucket_layout(keys: np.ndarray, counts: np.ndarray, window: int,
     ok = (sb < B) & (rank < slots)
     spilled = (sb < B) & (rank >= slots)
 
-    dest = rank * B + sb                      # plane-major (slot, bucket)
     gidx, pos = np.nonzero(ok)
-    flat_dest = dest[gidx, pos]
-    lane_planes = []
-    for e in entries:
-        se = np.take_along_axis(e, order, 1)
-        lane_flat = np.zeros((G, slots * B), np.uint32)
-        lane_flat[gidx, flat_dest] = se[gidx, pos]
-        lane_planes.append(lane_flat.reshape(G, slots, B // LANES, LANES))
-    planes = np.stack(lane_planes, axis=2)    # (G, slots, NL, B/128, 128)
-    planes = planes.reshape(G, slots * nl, B // LANES, LANES)
+    bsel, rsel = sb[gidx, pos], rank[gidx, pos]
+    osel = order[gidx, pos]                   # back to unsorted key order
+    planes = np.zeros((G, slots * nl, B // LANES, LANES), np.uint32)
+    pview = planes.reshape(G, slots, nl, B)   # plane p = slot p//nl lane p%nl
+    for ln, e in enumerate(entries):
+        pview[gidx, rsel, ln, bsel] = e[gidx, osel]
 
     spills = []
     for g in range(G):
         spills.append(order[g][spilled[g]].astype(np.int64))
     return planes, spills
-
-
-def _member_counts(skeys_lo, skeys_hi, keys, counts):
-    """For each of the m spill keys, membership in each of the G sketches.
-    Returns (G,) int64 — Σ over spill keys of membership.  Brute-force
-    compare (m tiny by construction)."""
-    lo, hi = _key_u64_parts(keys)
-    valid = np.arange(keys.shape[1])[None, :] < np.asarray(counts)[:, None]
-    out = np.zeros(keys.shape[0], np.int64)
-    for klo, khi in zip(skeys_lo, skeys_hi):
-        out += ((lo == klo) & (hi == khi) & valid).any(axis=1)
-    return out
 
 
 def spill_correction(keys: np.ndarray, counts: np.ndarray, spills) -> np.ndarray:
@@ -150,26 +134,53 @@ def spill_correction(keys: np.ndarray, counts: np.ndarray, spills) -> np.ndarray
     With A = bucketed(A) ∪ spill(A) disjoint, the kernel counts
     |bA ∩ bB|; the remainder is
     corr[r,c] = |sA_r ∩ B_c| + |A_r ∩ sB_c| - |sA_r ∩ sB_c|
-    (inclusion–exclusion over the disjoint splits).  All terms run on the
-    canonical sorted key arrays — exact regardless of layout parameters.
+    (inclusion–exclusion over the disjoint splits) — the first two terms
+    are transposes of one membership matrix M[r, c] = |spill(r) ∩ B_c|.
+
+    Membership is a searchsorted over per-sketch sorted 64-bit mixes (one
+    vectorized call per sketch for ALL spill keys at once); any mix hit is
+    confirmed against the full 128-bit key, so 64-bit mix collisions cannot
+    fake a match and equal-mix runs are scanned, so they cannot hide one.
     """
-    G = keys.shape[0]
+    G, cap = keys.shape[:2]
     corr = np.zeros((G, G), np.int64)
-    hot = [g for g in range(G) if len(spills[g])]
-    if not hot:
+    n_spill = [len(s) for s in spills]
+    if not any(n_spill):
         return corr
     lo, hi = _key_u64_parts(keys)
-    for r in hot:
-        slo, shi = lo[r][spills[r]], hi[r][spills[r]]
-        corr[r, :] += _member_counts(slo, shi, keys, counts)
-    for c in hot:
-        slo, shi = lo[c][spills[c]], hi[c][spills[c]]
-        corr[:, c] += _member_counts(slo, shi, keys, counts)
-    for r in hot:
-        rset = {(int(a), int(b)) for a, b in
-                zip(lo[r][spills[r]], hi[r][spills[r]])}
-        for c in hot:
-            both = sum((int(a), int(b)) in rset for a, b in
-                       zip(lo[c][spills[c]], hi[c][spills[c]]))
-            corr[r, c] -= both
+    z = mix64(mix64(lo) ^ hi)
+    valid = np.arange(cap)[None, :] < np.asarray(counts)[:, None]
+    zm = np.where(valid, z, np.uint64(0xFFFFFFFFFFFFFFFF))
+    order = np.argsort(zm, axis=1, kind="stable")
+    zs = np.take_along_axis(zm, order, 1)
+
+    src = np.concatenate([np.full(n_spill[g], g, np.int64)
+                          for g in range(G)])
+    sidx = np.concatenate([np.asarray(spills[g], np.int64)
+                           for g in range(G)])
+    slo, shi, sz = lo[src, sidx], hi[src, sidx], z[src, sidx]
+
+    member = np.zeros((len(src), G), bool)
+    for c in range(G):
+        nv = int(counts[c])
+        left = np.searchsorted(zs[c, :nv], sz, side="left")
+        right = np.searchsorted(zs[c, :nv], sz, side="right")
+        hitw = np.nonzero(right > left)[0]
+        for w in hitw:
+            for p in range(left[w], right[w]):
+                kr = order[c, p]
+                if lo[c, kr] == slo[w] and hi[c, kr] == shi[w]:
+                    member[w, c] = True
+                    break
+    m1 = np.zeros((G, G), np.int64)
+    np.add.at(m1, src, member.astype(np.int64))
+    corr += m1 + m1.T
+
+    bykey = {}
+    for w in range(len(src)):
+        bykey.setdefault((int(slo[w]), int(shi[w])), []).append(int(src[w]))
+    for who in bykey.values():
+        for r in who:
+            for c in who:
+                corr[r, c] -= 1
     return corr
