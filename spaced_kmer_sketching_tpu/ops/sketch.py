@@ -317,13 +317,33 @@ def _finish_tree(words, rowcnt, k_slots: int, capacity: int, scale: int,
         fill = jnp.full((g, mp - mf), SENTINEL, jnp.uint32)
         planes = [jnp.concatenate([p, fill], axis=1) for p in planes]
 
+    # survivors are sparse in the compacted chain output (~m*wps/scale of mp
+    # slots): close the holes with the order-preserving butterfly, then sort
+    # only a front window that statically covers the expected count with
+    # 6-sigma headroom — sorting the full capacity buffer spent most of the
+    # bitonic on sentinel fill.  A kept count exceeding the window is
+    # detected exactly below and resolves through the capacity retry.
+    expect2 = max(1, int(m * (128.0 / k_slots) / scale))
+    want = expect2 + 6 * int(math.sqrt(expect2)) + 256
+    sort_m = 1 << max(10, (want - 1).bit_length())
+    sort_m = min(sort_m, mp)
+    if sort_m < mp:
+        from .pallas.compact import compact_global
+        planes = compact_global(planes, interpret=interpret)
+        planes = [p[:, :sort_m] for p in planes]
+
     def one(w0, w1, w2, w3, rc, ka):
         buf, _ = _sort_rows([w0, w1, w2, w3])
-        buf = [w[:capacity] for w in buf]
+        if sort_m >= capacity:
+            buf = [w[:capacity] for w in buf]
+        else:
+            tailf = jnp.full((capacity - sort_m,), SENTINEL, jnp.uint32)
+            buf = [jnp.concatenate([w, tailf]) for w in buf]
         rcl = jnp.minimum(rc, k_slots)
         valid_total = jnp.sum(rcl).astype(jnp.int32)
         total = jnp.sum(rc).astype(jnp.int32)
-        overflow = jnp.any(rc > k_slots) | (ka != valid_total)
+        overflow = (jnp.any(rc > k_slots) | (ka != valid_total)
+                    | (ka > sort_m))
         raw_kept = jnp.where(
             overflow, jnp.maximum(total, jnp.int32(capacity + 1)), total)
         idx = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
