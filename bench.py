@@ -50,7 +50,10 @@ def main() -> int:
                          "program (amortizes per-dispatch runtime overhead)")
     ap.add_argument("--probe", action="store_true",
                     help="allpairs: use the XLA binary-search probe instead "
-                         "of the Pallas bucketized kernel")
+                         "of the MXU Gram-matrix path")
+    ap.add_argument("--bucket", action="store_true",
+                    help="allpairs: use the Pallas bucketized VPU kernel "
+                         "instead of the MXU Gram-matrix path")
     args = ap.parse_args()
     if args.iters < 1:
         ap.error("--iters must be >= 1")
@@ -206,11 +209,12 @@ def main() -> int:
 def bench_allpairs(args) -> int:
     """G x G all-pairs ANI matrix throughput (BASELINE.json config 2).
 
-    Default path: the Pallas bucketized-intersection kernel
-    (ops/pallas/bucket_intersect.py) — layouts built host-side once per
-    sketch, exact spill correction, full-matrix verification against the
-    native C++ sorted-merge.  --probe falls back to the XLA binary-search
-    probe (measured 287 pairs/s on this TPU: gathers serialize)."""
+    Default path: the MXU Gram-matrix formulation (ops/gram.py) — global
+    rank layout built host-side once per experiment, intersections as one
+    scanned X^T X matmul on device, full-matrix verification against the
+    native C++ sorted-merge.  --bucket selects the Pallas bucketized VPU
+    kernel (1.3e6 pairs/s); --probe the XLA binary-search probe (measured
+    287 pairs/s on this TPU: gathers serialize)."""
     import time
     import jax
     import jax.numpy as jnp
@@ -256,7 +260,7 @@ def bench_allpairs(args) -> int:
         dt = (time.perf_counter() - t0) / args.iters
         mat = np.asarray(out).astype(np.int64)
         build_ms = corr_ms = 0.0
-    else:
+    elif args.bucket:
         from spaced_kmer_sketching_tpu.ops.bucketized import (
             build_bucket_layout, spill_correction)
         from spaced_kmer_sketching_tpu.ops.pallas.bucket_intersect import (
@@ -285,6 +289,26 @@ def bench_allpairs(args) -> int:
         if any(len(s) for s in spills):
             mat = mat + spill_correction(keys_np, counts_np, spills)
         corr_ms = (time.perf_counter() - t0) * 1e3
+    else:
+        from spaced_kmer_sketching_tpu.ops.gram import (
+            build_rank_layout, gram_intersections_device)
+        t0 = time.perf_counter()
+        packed_np, n_union = build_rank_layout(keys_np, counts_np)
+        build_ms = (time.perf_counter() - t0) * 1e3
+        packed = jnp.asarray(packed_np)
+
+        def allpairs():
+            return gram_intersections_device(packed)
+
+        out = allpairs()
+        checksum = int(np.asarray(out.sum()))    # compile + force
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = allpairs()
+        assert int(np.asarray(out.sum())) == checksum
+        dt = (time.perf_counter() - t0) / args.iters
+        mat = np.asarray(out)[:g, :g].astype(np.int64)
+        corr_ms = 0.0
     pairs = g * g
     tpu_rate = pairs / dt
 

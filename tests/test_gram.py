@@ -1,0 +1,99 @@
+"""MXU Gram-matrix all-pairs intersection vs sets and the C++ merge.
+
+Reference semantics: per-pair hash-probe counts (src/kmer_set.cpp:23-41)
+over the ordered all-pairs list incl. self-pairs (src/generators.hpp:45-58).
+"""
+import numpy as np
+import pytest
+
+from spaced_kmer_sketching_tpu.ops.gram import (build_rank_layout,
+                                                gram_all_pairs)
+from spaced_kmer_sketching_tpu.utils import native
+
+
+def make_sketches(rng, g, cap, *, shared=300, priv=150, wide=False):
+    pool = np.unique(rng.integers(0, 1 << 62, size=2 * shared)
+                     .astype(np.uint64))
+    keys = np.full((g, cap, 4), 0xFFFFFFFF, np.uint32)
+    counts = np.zeros(g, np.int32)
+    sets = []
+    for i in range(g):
+        s = rng.choice(pool, size=min(shared, pool.size), replace=False)
+        p = rng.integers(0, 1 << 62, size=priv).astype(np.uint64)
+        u = np.unique(np.concatenate([s, p]))
+        hi = (u % np.uint64(97)) if wide else np.zeros_like(u)
+        ordv = np.lexsort((u, hi))
+        u, hi = u[ordv], hi[ordv]
+        counts[i] = u.size
+        keys[i, :u.size, 0] = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        keys[i, :u.size, 1] = (u >> np.uint64(32)).astype(np.uint32)
+        keys[i, :u.size, 2] = (hi & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        keys[i, :u.size, 3] = (hi >> np.uint64(32)).astype(np.uint32)
+        sets.append({(int(a), int(b)) for a, b in zip(u, hi)})
+    return keys, counts, sets
+
+
+@pytest.mark.parametrize("wide", [False, True])
+def test_matches_python_sets(wide):
+    rng = np.random.default_rng(3)
+    keys, counts, sets = make_sketches(rng, 12, 512, wide=wide)
+    mat = gram_all_pairs(keys, counts, tile=256)
+    for i in range(12):
+        for j in range(12):
+            assert mat[i, j] == len(sets[i] & sets[j]), (i, j)
+    assert np.array_equal(np.diag(mat), counts.astype(np.int64))
+
+
+def test_matches_native_merge():
+    rng = np.random.default_rng(5)
+    keys, counts, _ = make_sketches(rng, 8, 512)
+    mat = gram_all_pairs(keys, counts, tile=256)
+    for i in range(8):
+        for j in range(8):
+            ci, cj = counts[i], counts[j]
+            a = np.ascontiguousarray(np.stack(
+                [keys[i, :ci, 0].astype(np.uint64)
+                 | (keys[i, :ci, 1].astype(np.uint64) << 32),
+                 keys[i, :ci, 2].astype(np.uint64)
+                 | (keys[i, :ci, 3].astype(np.uint64) << 32)], axis=1))
+            b = np.ascontiguousarray(np.stack(
+                [keys[j, :cj, 0].astype(np.uint64)
+                 | (keys[j, :cj, 1].astype(np.uint64) << 32),
+                 keys[j, :cj, 2].astype(np.uint64)
+                 | (keys[j, :cj, 3].astype(np.uint64) << 32)], axis=1))
+            assert mat[i, j] == native.intersect_sorted(a, b)
+
+
+def test_empty_and_identical_sketches():
+    rng = np.random.default_rng(9)
+    keys, counts, _ = make_sketches(rng, 6, 256, shared=60, priv=40)
+    counts[2] = 0                      # empty sketch
+    keys[4] = keys[1]                  # identical pair
+    counts[4] = counts[1]
+    mat = gram_all_pairs(keys, counts, tile=128)
+    assert mat[2].sum() == 0 and mat[:, 2].sum() == 0
+    assert mat[4, 1] == mat[1, 1] == mat[4, 4]
+    assert np.array_equal(mat, mat.T)
+
+
+def test_nonmultiple_g_and_tile_edges():
+    # G=5 (not a multiple of 32) and a union that is not a tile multiple
+    rng = np.random.default_rng(11)
+    keys, counts, sets = make_sketches(rng, 5, 128, shared=50, priv=33)
+    mat = gram_all_pairs(keys, counts, tile=64)
+    for i in range(5):
+        for j in range(5):
+            assert mat[i, j] == len(sets[i] & sets[j])
+
+
+def test_rank_layout_bit_budget():
+    rng = np.random.default_rng(2)
+    keys, counts, sets = make_sketches(rng, 12, 512)
+    packed, n_union = build_rank_layout(keys, counts, tile=256)
+    union = set()
+    for s in sets:
+        union |= s
+    assert n_union == len(union)
+    # total set bits == total valid keys
+    bits = np.unpackbits(packed.view(np.uint8))
+    assert int(bits.sum()) == int(counts.sum())
