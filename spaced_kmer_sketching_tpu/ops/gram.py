@@ -84,9 +84,15 @@ def build_rank_layout(keys: np.ndarray, counts: np.ndarray, *,
     return packed.reshape(n_tiles, tile, words), n_union
 
 
-@jax.jit
-def gram_intersections_device(packed):
-    """(n_tiles, T, W) packed bits -> exact (32*W, 32*W) int32 matrix."""
+def gram_accumulate(packed, *, vary_axes=()):
+    """(n_tiles, T, W) packed bits -> (32*W, 32*W) float32 partial Gram.
+
+    Traceable building block: also used under shard_map with the tiles
+    axis sharded over the mesh (parallel/allpairs.sharded_gram_fn), where
+    per-device partials are psum-merged — all-zero padding tiles
+    contribute nothing, so tile-count padding is free.  Under shard_map
+    pass the mesh axis names as vary_axes so the scan carry matches the
+    device-varying operand type."""
     nt, t, w = packed.shape
     bit = lax.broadcasted_iota(jnp.uint32, (1, 1, _WORD), 2)
 
@@ -96,8 +102,16 @@ def gram_intersections_device(packed):
         return acc + jnp.dot(x.T, x, preferred_element_type=jnp.float32), None
 
     acc0 = jnp.zeros((w * _WORD, w * _WORD), jnp.float32)
+    if vary_axes:
+        acc0 = lax.pcast(acc0, tuple(vary_axes), to="varying")
     acc, _ = lax.scan(body, acc0, packed)
-    return acc.astype(jnp.int32)
+    return acc
+
+
+@jax.jit
+def gram_intersections_device(packed):
+    """(n_tiles, T, W) packed bits -> exact (32*W, 32*W) int32 matrix."""
+    return gram_accumulate(packed).astype(jnp.int32)
 
 
 def gram_all_pairs(keys, counts, *, tile: int = 2048) -> np.ndarray:

@@ -92,6 +92,31 @@ def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
     return out
 
 
+def sharded_gram_fn(mesh: Mesh):
+    """Jitted (packed (nt, T, W) uint32) -> (32W, 32W) int32 all-pairs
+    intersections via the MXU Gram formulation (ops/gram.py), with the
+    union-rank tile axis sharded over EVERY mesh device (pure data
+    parallelism over rank space — each chip matmuls its tile slice and a
+    psum over both mesh axes merges the partial Grams, riding ICI).
+    nt must be divisible by mesh.size; pad with all-zero tiles (free)."""
+    from jax import lax as _lax
+
+    from ..ops.gram import gram_accumulate
+
+    def part(pk):
+        return _lax.psum(gram_accumulate(pk, vary_axes=(ROW_AXIS, COL_AXIS)),
+                         (ROW_AXIS, COL_AXIS))
+
+    sharded = shard_map(part, mesh=mesh,
+                        in_specs=(P((ROW_AXIS, COL_AXIS)),),
+                        out_specs=P())
+
+    @jax.jit
+    def run(packed):
+        return sharded(packed).astype(jnp.int32)
+    return run
+
+
 def sharded_ani_fn(mesh: Mesh, care_positions: int):
     """Jitted (keys, counts) -> (inter (G, G) int32, ani (G, G) f32) with the
     reference's containment/estimator semantics on device

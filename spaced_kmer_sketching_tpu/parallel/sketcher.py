@@ -27,7 +27,7 @@ from ..models.fracminhash import FracMinHashSketcher, Sketch, _next_pow2
 from ..observability import get_logger, span
 from .allpairs import sharded_all_pairs_fn
 from .distributed import global_mesh, process_shard
-from .mesh import ROW_AXIS, data_spec, pad_to_multiple
+from .mesh import COL_AXIS, ROW_AXIS, data_spec, pad_to_multiple
 from .sketch import pack_genome_batch, sharded_sketch_fn
 
 log = get_logger(__name__)
@@ -185,6 +185,34 @@ class MeshSketcher(FracMinHashSketcher):
     # ---- sharded all-pairs --------------------------------------------------
     def all_pairs_intersections(self, sketches: Sequence[Sketch],
                                 tile: int = 64) -> np.ndarray:
+        """(G, G) intersections with the union-rank tile axis of the MXU
+        Gram formulation sharded over every mesh device (psum merge) —
+        the mesh analog of the reference's cilk_for over pairs
+        (src/kmer_set.cpp:179)."""
+        from ..ops.gram import build_rank_layout
+        from .allpairs import sharded_gram_fn
+
+        g = len(sketches)
+        cap = max(1, _next_pow2(max([s.count for s in sketches] or [1])))
+        keys = np.full((g, cap, 4), 0xFFFFFFFF, dtype=np.uint32)
+        counts = np.zeros(g, dtype=np.int32)
+        for i, s in enumerate(sketches):
+            keys[i, :s.count] = s.keys
+            counts[i] = s.count
+        packed, _ = build_rank_layout(keys, counts)
+        nt = packed.shape[0]
+        ntp = pad_to_multiple(nt, self.mesh_size)
+        if ntp != nt:           # all-zero tiles contribute nothing
+            packed = np.concatenate(
+                [packed, np.zeros((ntp - nt,) + packed.shape[1:],
+                                  packed.dtype)])
+        fn = sharded_gram_fn(self.mesh)
+        out = self._get(fn(self._put(packed, P((ROW_AXIS, COL_AXIS)))))
+        return out[:g, :g]
+
+    def all_pairs_intersections_shardmap(self, sketches: Sequence[Sketch],
+                                         tile: int = 64) -> np.ndarray:
+        """Probe-engine 2-D mesh tiling (kept as cross-check engine)."""
         g = len(sketches)
         gp = pad_to_multiple(max(g, 1), self.mesh_size)
         cap = max(1, _next_pow2(max([s.count for s in sketches] or [1])))

@@ -270,3 +270,56 @@ def test_blocked_all_pairs_matches_tile():
         return keys[i0:i1], counts[i0:i1]
     got2 = blocked_all_pairs(mesh, provider, g, block=8)
     np.testing.assert_array_equal(got2, want)
+
+
+def test_sharded_gram_matches_sets(mesh, genomes):
+    """MXU Gram all-pairs with union tiles sharded over the mesh equals
+    the Python set intersections (and thus the probe engine above)."""
+    from spaced_kmer_sketching_tpu.ops.gram import build_rank_layout
+    from spaced_kmer_sketching_tpu.parallel.allpairs import sharded_gram_fn
+
+    mask, salt = _mask_salt()
+    codes, run_ids, g = pack_genome_batch(genomes, mesh.devices.size, WINDOW)
+    sk = sharded_sketch_fn(mesh, window=WINDOW, salt=salt, scale=SCALE,
+                           variant=VARIANT, capacity=512)
+    out = sk(jnp.asarray(codes), jnp.asarray(run_ids),
+             jnp.asarray(mask.words_u32))
+    keys = np.asarray(out.keys)
+    counts = np.asarray(out.count)
+    packed, _ = build_rank_layout(keys, counts, tile=256)
+    nt = packed.shape[0]
+    ntp = -(-nt // mesh.devices.size) * mesh.devices.size
+    packed = np.concatenate(
+        [packed, np.zeros((ntp - nt,) + packed.shape[1:], packed.dtype)])
+    inter = np.asarray(sharded_gram_fn(mesh)(jnp.asarray(packed)))
+    gp = keys.shape[0]
+    sets = [_keys_to_set(out.keys[i], out.count[i]) for i in range(gp)]
+    want = np.array([[len(a & b) for b in sets] for a in sets])
+    np.testing.assert_array_equal(inter[:gp, :gp], want)
+
+
+def test_mesh_sketcher_all_pairs_gram_matches_probe(tmp_path, genomes):
+    """MeshSketcher.all_pairs_intersections (sharded gram) is identical to
+    both its probe shard_map engine and the single-device sketcher."""
+    from spaced_kmer_sketching_tpu.config import SketchConfig
+    from spaced_kmer_sketching_tpu.models.fracminhash import FracMinHashSketcher
+    from spaced_kmer_sketching_tpu.parallel.sketcher import MeshSketcher
+
+    paths = []
+    for i, pk in enumerate(genomes[:6]):
+        # FakePacked runs -> one record per ACGT run (run split semantics)
+        seqs, pos = [], 0
+        for ln in pk.run_lens:
+            seqs.append("".join("ACGT"[c] for c in pk.codes[pos:pos + ln]))
+            pos += int(ln)
+        p = tmp_path / f"g{i}.fa"
+        p.write_text("".join(f">s{r}\n{s}\n" for r, s in enumerate(seqs)))
+        paths.append(str(p))
+    cfg = SketchConfig(window=WINDOW, k=K, scale=SCALE, hash_variant=VARIANT)
+    msk = MeshSketcher(cfg)
+    sketches = msk.sketch_files(paths)
+    got = msk.all_pairs_intersections(sketches)
+    probe = msk.all_pairs_intersections_shardmap(sketches)
+    single = FracMinHashSketcher(cfg).all_pairs_intersections(sketches)
+    np.testing.assert_array_equal(got, probe)
+    np.testing.assert_array_equal(got, single)

@@ -39,7 +39,7 @@ def main():
     w1 = jnp.asarray(rng.integers(0, 1 << 8, (ROWS, 128), np.uint64)
                      .astype(np.uint32))
 
-    fn = jax.jit(functools.partial(
+    call = functools.partial(
         pl.pallas_call,
         grid=(ROWS // BLK,),
         in_specs=[pl.BlockSpec((BLK, 128), lambda i: (i, 0),
@@ -47,16 +47,18 @@ def main():
         out_specs=pl.BlockSpec((BLK, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ROWS, 128), jnp.uint32),
-    )(kern))
+    )(kern)
 
-    out = fn(w0, w1)
-    n_keep = int(np.asarray(out).sum())
+    # reduce ON DEVICE: only a scalar crosses the tunnel, so the timing
+    # loop measures compute, not the 64 MB device->host transfer
+    fn = jax.jit(lambda a, b: call(a, b).sum())
+
+    n_keep = int(np.asarray(fn(w0, w1)))
     iters = 16
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(w0, w1)
-    jax.block_until_ready(out)
-    chk = int(np.asarray(out).sum())
+    chk = int(np.asarray(out))
     assert chk == n_keep
     dt = (time.perf_counter() - t0) / iters
     print(f"hash-only: {dt*1e3:.3f} ms / {ROWS*128/1e6:.1f}M windows "
