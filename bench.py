@@ -45,7 +45,7 @@ def main() -> int:
                     help="genomes per device dispatch in --mode sketch")
     ap.add_argument("--no-verify", action="store_true",
                     help="skip the on-hardware key-level parity gate")
-    ap.add_argument("--steps-per-dispatch", type=int, default=4,
+    ap.add_argument("--steps-per-dispatch", type=int, default=16,
                     help="sketch: independent steps mapped into one "
                          "program (amortizes per-dispatch runtime overhead)")
     ap.add_argument("--probe", action="store_true",
@@ -54,6 +54,10 @@ def main() -> int:
     ap.add_argument("--bucket", action="store_true",
                     help="allpairs: use the Pallas bucketized VPU kernel "
                          "instead of the MXU Gram-matrix path")
+    ap.add_argument("--ondevice", action="store_true",
+                    help="allpairs: fully on-device Gram engine (Pallas "
+                         "merge-sort + chunked S^T E S matmuls; no host "
+                         "rank-layout build)")
     args = ap.parse_args()
     if args.iters < 1:
         ap.error("--iters must be >= 1")
@@ -66,6 +70,8 @@ def main() -> int:
         jax.config.update("jax_platforms", args.platform)
     from spaced_kmer_sketching_tpu.utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
+    from spaced_kmer_sketching_tpu.utils.hostmem import tune as _malloc_tune
+    _malloc_tune()
     import jax.numpy as jnp
 
     from spaced_kmer_sketching_tpu.ops.extract import run_ids_from_lens
@@ -260,6 +266,7 @@ def bench_allpairs(args) -> int:
         dt = (time.perf_counter() - t0) / args.iters
         mat = np.asarray(out).astype(np.int64)
         build_ms = corr_ms = 0.0
+        build_warm_ms = None
     elif args.bucket:
         from spaced_kmer_sketching_tpu.ops.bucketized import (
             build_bucket_layout, spill_correction)
@@ -269,6 +276,7 @@ def bench_allpairs(args) -> int:
         t0 = time.perf_counter()
         planes_np, spills = build_bucket_layout(keys_np, counts_np, window)
         build_ms = (time.perf_counter() - t0) * 1e3
+        build_warm_ms = None
         nl = planes_np.shape[1] // 4
         planes = jnp.asarray(planes_np)
         interp = jax.default_backend() != "tpu"
@@ -289,12 +297,37 @@ def bench_allpairs(args) -> int:
         if any(len(s) for s in spills):
             mat = mat + spill_correction(keys_np, counts_np, spills)
         corr_ms = (time.perf_counter() - t0) * 1e3
+    elif args.ondevice:
+        from spaced_kmer_sketching_tpu.ops.gram import gram_all_pairs_ondevice
+        chunk = max(512, -(-g // 128) * 128)
+        keys_dev = jnp.asarray(keys_np)
+        counts_dev = jnp.asarray(counts_np)
+
+        def allpairs():
+            return gram_all_pairs_ondevice(keys_dev, counts_dev, chunk=chunk)
+
+        out = allpairs()
+        checksum = int(np.asarray(out.sum()))    # compile + force
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = allpairs()
+        assert int(np.asarray(out.sum())) == checksum
+        dt = (time.perf_counter() - t0) / args.iters
+        mat = np.asarray(out).astype(np.int64)
+        build_ms = corr_ms = 0.0                 # nothing runs on host
+        build_warm_ms = None
     else:
         from spaced_kmer_sketching_tpu.ops.gram import (
             build_rank_layout, gram_intersections_device)
         t0 = time.perf_counter()
         packed_np, n_union = build_rank_layout(keys_np, counts_np)
         build_ms = (time.perf_counter() - t0) * 1e3
+        # warm build: the first call pays this sandbox's first-touch page
+        # faults (utils/hostmem.py); a sweep's later experiments reuse the
+        # heap and pay only this
+        t0 = time.perf_counter()
+        build_rank_layout(keys_np, counts_np)
+        build_warm_ms = (time.perf_counter() - t0) * 1e3
         packed = jnp.asarray(packed_np)
 
         def allpairs():
@@ -365,6 +398,8 @@ def bench_allpairs(args) -> int:
         "platform": jax.devices()[0].platform,
         "genomes": g, "sketch_cap": cap, "step_ms": round(dt * 1e3, 3),
         "layout_build_ms": round(build_ms, 3),
+        "layout_build_warm_ms": (round(build_warm_ms, 3)
+                                 if build_warm_ms is not None else None),
         "correction_ms": round(corr_ms, 3),
         "verified": verified,
     }

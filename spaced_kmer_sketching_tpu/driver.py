@@ -152,6 +152,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         jax.config.update("jax_platforms", args.platform)
     from .utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
+    from .utils.hostmem import tune as _malloc_tune
+    _malloc_tune()
 
     if (args.window is None) != (args.k is None):
         parser.error("--window and --k must be given together")

@@ -125,17 +125,44 @@ class FracMinHashSketcher:
 
     def _collect_sketch(self, handle):
         """Force a dispatched batch, running the overflow retry if needed.
-        Returns np (keys, counts, raws)."""
+        A capacity/slot overflow re-sketches ONLY the overflowed genomes
+        (raw_kept is per-genome): the slot budgets are sized so overflow
+        probability is ~1e-7 per 128-window row (ops/sketch.py
+        slots_for_scale), so whole-batch retries would waste a full
+        dispatch on one unlucky row.  Returns np (keys, counts, raws)."""
         res, args, make, capacity = handle
+        raws = np.asarray(res.raw_kept)
+        raw = int(raws.max())
+        if raw <= capacity:
+            return np.asarray(res.keys), np.asarray(res.count), raws
+        keys = np.asarray(res.keys)
+        counts = np.asarray(res.count)
+        bad = np.nonzero(raws > capacity)[0]
+        sel = tuple(a[bad] for a in args)
         while True:
-            raws = np.asarray(res.raw_kept)
-            raw = int(raws.max())
+            capacity = 1 << math.ceil(math.log2(raw + 1))
+            log.info("sketch overflow: retry %d/%d genomes cap=%d",
+                     bad.size, raws.shape[0], capacity)
+            res2 = make(capacity)(*sel, self._mask_words)
+            raws2 = np.asarray(res2.raw_kept)
+            raw = int(raws2.max())
             if raw <= capacity:
                 break
-            capacity = 1 << math.ceil(math.log2(raw + 1))
-            log.info("batched sketch overflow -> retry cap=%d", capacity)
-            res = make(capacity)(*args, self._mask_words)
-        return np.asarray(res.keys), np.asarray(res.count), raws
+        keys2 = np.asarray(res2.keys)
+        counts2 = np.asarray(res2.count)
+        # splice the retried genomes back (keys buffer may be wider: valid
+        # rows fit by construction since count <= raw_kept <= old shapes)
+        for bi, gi in enumerate(bad):
+            c = int(counts2[bi])
+            if c > keys.shape[1]:
+                pad = np.full((keys.shape[0], c - keys.shape[1], 4),
+                              0xFFFFFFFF, dtype=keys.dtype)
+                keys = np.concatenate([keys, pad], axis=1)
+            keys[gi, :c] = keys2[bi, :c]
+            keys[gi, c:] = 0xFFFFFFFF
+            counts[gi] = c
+            raws[gi] = raws2[bi]
+        return keys, counts, raws
 
     def _device_sketch_batch(self, codes: np.ndarray, run_id: np.ndarray,
                              capacity: int):
@@ -344,8 +371,13 @@ class FracMinHashSketcher:
                                 tile: int = 64) -> np.ndarray:
         """(G, G) intersection matrix via the MXU Gram formulation
         (ops/gram.py) — exact, and ~50x the binary-search probe on TPU.
-        `tile` is kept for the probe fallback (engine='probe')."""
-        from ..ops.gram import gram_all_pairs
+        On TPU the fully on-device variant is used when it applies (no
+        host rank-layout build: Pallas merge-sort of (key, genome) pairs
+        + chunked S^T E S matmuls).  `tile` is kept for the probe
+        fallback (engine='probe')."""
+        import jax
+
+        from ..ops.gram import gram_all_pairs, gram_all_pairs_ondevice
         g = len(sketches)
         cap = max(1, _next_pow2(max([s.count for s in sketches] or [1])))
         keys_np = np.full((g, cap, 4), 0xFFFFFFFF, dtype=np.uint32)
@@ -353,6 +385,12 @@ class FracMinHashSketcher:
         for i, s in enumerate(sketches):
             keys_np[i, :s.count] = s.keys
             counts_np[i] = s.count
+        if (jax.default_backend() == "tpu" and g <= 2048
+                and cap >= 128 and cap % 128 == 0):
+            import jax.numpy as jnp
+            chunk = max(512, -(-g // 128) * 128)
+            return np.asarray(gram_all_pairs_ondevice(
+                jnp.asarray(keys_np), jnp.asarray(counts_np), chunk=chunk))
         return gram_all_pairs(keys_np, counts_np).astype(np.int32)
 
     def all_pairs_intersections_probe(self, sketches: Sequence[Sketch],

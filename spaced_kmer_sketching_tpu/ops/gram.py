@@ -121,3 +121,128 @@ def gram_all_pairs(keys, counts, *, tile: int = 2048) -> np.ndarray:
     packed, _ = build_rank_layout(keys, np.asarray(counts), tile=tile)
     out = gram_intersections_device(jnp.asarray(packed))
     return np.asarray(out)[:g, :g].astype(np.int64)
+
+
+# --- fully device-side variant -------------------------------------------
+#
+# build_rank_layout is host NumPy: it downloads every sketch, pays this
+# sandbox's first-touch page faults (~1-11 s per build, utils/hostmem.py),
+# and re-uploads the packed matrix.  The device formulation never leaves
+# the chip: the G sorted sketches (already on device, the sketch step's
+# output) are merge-sorted into one global (key, genome) order with the
+# genome id riding along the Pallas bitonic merges, then scanned in
+# C-entry chunks where each chunk contributes S^T E S to the Gram matrix:
+#   S (C, G)  = one-hot genome indicators (0 for sentinel rows),
+#   E (C, C)  = key-equality indicator (equal keys are contiguous after
+#               the sort, but E needs no rank bookkeeping at all),
+# so intersections accumulate as two MXU matmuls per chunk — 0/1 values
+# are exact in bfloat16 and counts < 2^24 are exact in the f32
+# accumulator.  A key whose run straddles a chunk boundary contributes
+# a^T a + b^T b instead of (a+b)^T (a+b); the scan carries the previous
+# chunk's last key and its genome vector `a` and adds the missing
+# a b^T + b a^T (a run can span at most one boundary when C >= G, since a
+# key appears at most once per sketch).
+
+
+def _gram_from_sorted_chunks(sw, sg, g: int, gp: int, chunk: int):
+    """sw: 4 x (N,) sorted key words; sg: (N,) genome ids (int32).
+    Returns (gp, gp) f32 Gram accumulated over N/chunk chunks."""
+    n = sw[0].shape[0]
+    nchunks = n // chunk
+    xs = [w.reshape(nchunks, chunk) for w in sw] + [
+        sg.reshape(nchunks, chunk)]
+
+    sent = jnp.uint32(0xFFFFFFFF)
+
+    def body(carry, x):
+        acc, pk, pa = carry
+        w = x[:4]
+        gid = x[4].astype(jnp.int32)
+        valid = (w[0] != sent) | (w[1] != sent) | (w[2] != sent) \
+            | (w[3] != sent)
+        # S: one-hot genome rows, zeroed for sentinel entries
+        gids = jnp.arange(gp, dtype=jnp.int32)
+        s = ((gid[:, None] == gids[None, :]) & valid[:, None]) \
+            .astype(jnp.bfloat16)                        # (C, Gp)
+        # E: key-equality indicator within the chunk
+        eq = jnp.ones((chunk, chunk), jnp.bool_)
+        for q in range(4):
+            eq = eq & (w[q][:, None] == w[q][None, :])
+        e = eq.astype(jnp.bfloat16)
+        t = jnp.dot(e, s, preferred_element_type=jnp.float32)  # (C, Gp)
+        acc = acc + jnp.dot(s.T.astype(jnp.bfloat16),
+                            t.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        # boundary correction with the previous chunk
+        eqp = valid
+        for q in range(4):
+            eqp = eqp & (w[q] == pk[q])
+        b = jnp.sum(jnp.where(eqp[:, None], s, 0).astype(jnp.float32),
+                    axis=0)                              # (Gp,)
+        acc = acc + pa[:, None] * b[None, :] + b[:, None] * pa[None, :]
+        # carry: this chunk's last key and its genome vector
+        lk = [w[q][-1] for q in range(4)]
+        eql = valid
+        for q in range(4):
+            eql = eql & (w[q] == lk[q])
+        a = jnp.sum(jnp.where(eql[:, None], s, 0).astype(jnp.float32),
+                    axis=0)
+        return (acc, lk, a), None
+
+    acc0 = jnp.zeros((gp, gp), jnp.float32)
+    pk0 = [jnp.full((), 0xFFFFFFFF, jnp.uint32) for _ in range(4)]
+    pa0 = jnp.zeros((gp,), jnp.float32)
+    (acc, _, _), _ = lax.scan(body, (acc0, pk0, pa0), xs)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def gram_all_pairs_ondevice(keys, counts, *, chunk: int = 512,
+                            interpret: bool = False):
+    """Exact (G, G) int32 all-pairs intersection matrix, computed without
+    any host round-trip: keys (G, cap, 4) uint32 device sketches (sorted
+    unique, sentinel padded — SketchBatch.keys layout), counts (G,).
+
+    Requires chunk >= G (one key contributes at most G entries) and
+    cap * G a multiple of chunk with a power-of-two run count; pads
+    genomes to gp = ceil128(G) for the MXU."""
+    from .pallas.sort import LANES, merge_sorted_runs
+
+    g, cap, _ = keys.shape
+    assert chunk >= g, "chunk must be >= G (one entry per key per sketch)"
+    assert chunk % LANES == 0
+    gp = max(LANES, -(-g // LANES) * LANES)
+
+    # the merge tree wants a power-of-two run count: pad with all-sentinel
+    # pseudo-sketches (they sort to the back and their S rows are zero)
+    g2 = 1 << max(0, (g - 1).bit_length())
+    if g2 != g:
+        pad = jnp.full((g2 - g, cap, 4), 0xFFFFFFFF, jnp.uint32)
+        keys = jnp.concatenate([keys, pad], axis=0)
+    n = g2 * cap
+
+    gid = jnp.broadcast_to(jnp.arange(g2, dtype=jnp.uint32)[:, None],
+                           (g2, cap))
+    planes = [keys[:, :, q].reshape(n // LANES, LANES) for q in range(4)]
+    planes.append(gid.reshape(n // LANES, LANES))
+
+    run_rows = cap // LANES
+    if jax.default_backend() != "tpu" and not interpret:
+        # XLA fallback: one lax.sort (non-TPU backends)
+        flat = [p.reshape(n) for p in planes]
+        srt = lax.sort((flat[3], flat[2], flat[1], flat[0], flat[4]),
+                       num_keys=4)
+        sw = [srt[3], srt[2], srt[1], srt[0]]
+        sg = srt[4]
+    else:
+        merged = merge_sorted_runs(planes, run_rows, interpret=interpret)
+        sw = [p.reshape(n) for p in merged[:4]]
+        sg = merged[4].reshape(n)
+
+    npad = -n % chunk
+    if npad:
+        sw = [jnp.concatenate([w, jnp.full((npad,), 0xFFFFFFFF, jnp.uint32)])
+              for w in sw]
+        sg = jnp.concatenate([sg, jnp.zeros((npad,), jnp.uint32)])
+    acc = _gram_from_sorted_chunks(sw, sg.astype(jnp.int32), g, gp, chunk)
+    return acc[:g, :g].astype(jnp.int32)

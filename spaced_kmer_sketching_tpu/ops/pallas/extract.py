@@ -39,6 +39,13 @@ BLOCK = 32768                     # windows per grid step (large: amortizes
 BROWS = BLOCK // LANES            # 32
 HALO_ROWS = BROWS + 8             # extra 1024 codes cover window-1 <= 63
 
+# Survivor-compaction epilogue: "onehot" (k_slots x 4 one-hot lane
+# reductions) or "butterfly" (7 routing rounds, cost independent of
+# k_slots).  Both are bit-identical; the faster one on this chip is the
+# default (A/B measured on hardware).
+import os as _os
+_EPILOGUE = _os.environ.get("SKS_EPILOGUE", "onehot")
+
 
 def _slide(x, j: int):
     """y flattened[i] = x flattened[i + j] for (R, 128) row-major x,
@@ -268,22 +275,37 @@ def _compact_kernel(qc_hbm, qr_hbm, rid_hbm, mask_ref, salt_ref,
         scale=scale, variant=variant)
     cum = _lane_cumsum(keep.astype(jnp.int32))       # (BROWS, 128)
     rowcnt = jnp.max(cum, axis=1, keepdims=True)     # = cum[:, -1]
-    # Mosaic lacks unsigned reductions (and 1-D bitcasts); summing the
-    # one-hot selection in int32 is bit-identical (exactly one non-zero
-    # term per row), so bitcast 2-D planes in and back out.
-    canon_i = [pltpu.bitcast(c, jnp.int32) for c in canon]
-    slots = [[] for _ in range(KEY_WORDS)]
-    for s in range(k_slots):
-        ind = (cum == s + 1) & keep                  # one-hot per row
-        for q in range(KEY_WORDS):
-            slots[q].append(
-                jnp.sum(jnp.where(ind, canon_i[q], 0), axis=1,
-                        keepdims=True))              # (BROWS, 1) int32
+    if _EPILOGUE == "butterfly":
+        # order-preserving butterfly lane routing (7 rounds, cost
+        # independent of k_slots) — the same network the finish's
+        # compact_rows kernel uses
+        from .compact import _butterfly_compact_lanes
+        masked = [jnp.where(keep, c, jnp.uint32(0xFFFFFFFF)) for c in canon]
+        packed, _ = _butterfly_compact_lanes(masked, keep)
+        slotw = [p[:, :k_slots] for p in packed]
+    else:
+        # Mosaic lacks unsigned reductions (and 1-D bitcasts); summing the
+        # one-hot selection in int32 is bit-identical (exactly one non-zero
+        # term per row), so bitcast 2-D planes in and back out.
+        canon_i = [pltpu.bitcast(c, jnp.int32) for c in canon]
+        slots = [[] for _ in range(KEY_WORDS)]
+        for s in range(k_slots):
+            ind = (cum == s + 1) & keep              # one-hot per row
+            for q in range(KEY_WORDS):
+                slots[q].append(
+                    jnp.sum(jnp.where(ind, canon_i[q], 0), axis=1,
+                            keepdims=True))          # (BROWS, 1) int32
+        slotw = [pltpu.bitcast(jnp.concatenate(s_, axis=1), jnp.uint32)
+                 for s_ in slots]
     svalid = jax.lax.broadcasted_iota(
         jnp.int32, (BROWS, k_slots), 1) < rowcnt
+    # NOTE a (BROWS, k_slots) minor dim of 8-16 is lane-padded by XLA and
+    # the finish's reshape pays a relayout copy (~0.4 ms/step measured);
+    # writing 128-lane-dense via an in-kernel reshape is NOT possible —
+    # Mosaic rejects the (BROWS, ks) -> (ks*BROWS/128, 128) shape cast
+    # ("infer-vector-layout: unsupported shape cast", verified on hw).
     for q, oref in enumerate((ow0, ow1, ow2, ow3)):
-        w = pltpu.bitcast(jnp.concatenate(slots[q], axis=1), jnp.uint32)
-        oref[0] = jnp.where(svalid, w, jnp.uint32(0xFFFFFFFF))
+        oref[0] = jnp.where(svalid, slotw[q], jnp.uint32(0xFFFFFFFF))
     ocnt[0] = rowcnt.astype(jnp.int32)
 
 

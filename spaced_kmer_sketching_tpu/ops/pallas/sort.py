@@ -50,6 +50,21 @@ def _lex_lt(a, b):
     return lt
 
 
+def _lex_lt_tb(a, b):
+    """128-bit key compare with any extra planes as LEAST-significant
+    tiebreakers.  A compare-exchange on exactly-equal operands duplicates
+    one side's value at both positions — invisible for the key planes but
+    data loss for ride-along tags; folding the tags into the comparator
+    makes the order total (for unique (key, tag) tuples), so a tie implies
+    the full tuples are identical and duplication is a no-op."""
+    seq_a = list(a[KEY_WORDS:])[::-1] + list(a[:KEY_WORDS])
+    seq_b = list(b[KEY_WORDS:])[::-1] + list(b[:KEY_WORDS])
+    lt = seq_a[0] < seq_b[0]
+    for qa, qb in zip(seq_a[1:], seq_b[1:]):
+        lt = (qa < qb) | ((qa == qb) & lt)
+    return lt
+
+
 def _sort_kernel(n: int, w0, w1, w2, w3, o0, o1, o2, o3):
     x = [w0[:], w1[:], w2[:], w3[:]]
     shape = x[0].shape
@@ -237,11 +252,13 @@ def sort_truncate_128(keys, capacity: int, interpret: bool = False):
     return jnp.stack([o.reshape(capacity) for o in outs], axis=-1)
 
 
-def _merge_round_kernel(lr: int, final: bool, w0, w1, w2, w3,
-                        o0, o1, o2, o3):
+def _merge_round_kernel(lr: int, final: bool, nplanes: int, *refs):
     """Bitonic merge of adjacent (asc, desc) run pairs of lr rows each into
-    a 2*lr-row run, direction by grid-id parity (ascending when final)."""
-    x = [w0[:], w1[:], w2[:], w3[:]]
+    a 2*lr-row run, direction by grid-id parity (ascending when final).
+    The first KEY_WORDS planes are the 128-bit sort key; any further planes
+    ride along (e.g. a genome-id tag for the device-side Gram layout)."""
+    ins, outs = refs[:nplanes], refs[nplanes:]
+    x = [w[:] for w in ins]
     shape = x[0].shape
     row = lax.broadcasted_iota(jnp.int32, shape, 0)
     lane = lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -250,12 +267,13 @@ def _merge_round_kernel(lr: int, final: bool, w0, w1, w2, w3,
     d = lr * LANES
     while d >= 1:
         p = [_partner(w, d) for w in x]
-        x_lt_p = _lex_lt(x, p)
+        x_lt_p = _lex_lt_tb(x, p)
         lower = (flat & d) == 0
         want_x = (lower == asc) == x_lt_p
         x = [jnp.where(want_x, xi, pi) for xi, pi in zip(x, p)]
         d //= 2
-    o0[:], o1[:], o2[:], o3[:] = x
+    for o, xi in zip(outs, x):
+        o[:] = xi
 
 
 MERGE_PALLAS_MAX_ROWS = 1024      # 2*lr beyond this overflows scoped VMEM
@@ -263,18 +281,19 @@ MERGE_PALLAS_MAX_ROWS = 1024      # 2*lr beyond this overflows scoped VMEM
 
 def _merge_round(planes, lr: int, interpret):
     r = planes[0].shape[0]
+    np_ = len(planes)
     if 2 * lr > MERGE_PALLAS_MAX_ROWS:
         return _merge_round_xla(planes, lr)
     blocks = r // (2 * lr)
-    kern = functools.partial(_merge_round_kernel, lr, blocks == 1)
+    kern = functools.partial(_merge_round_kernel, lr, blocks == 1, np_)
     return pl.pallas_call(
         kern,
         grid=(blocks,),
         in_specs=[pl.BlockSpec((2 * lr, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)] * KEY_WORDS,
+                               memory_space=pltpu.VMEM)] * np_,
         out_specs=[pl.BlockSpec((2 * lr, LANES), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)] * KEY_WORDS,
-        out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.uint32)] * KEY_WORDS,
+                                memory_space=pltpu.VMEM)] * np_,
+        out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.uint32)] * np_,
         interpret=interpret,
     )(*planes)
 
@@ -284,7 +303,8 @@ def _merge_round_xla(planes, lr: int):
     when the 2*lr-row block exceeds scoped VMEM.  Each pass at distance d is
     a reshape to (blocks, 2, d) + lexicographic min/max select (pure
     elementwise, no sort/top_k/gather); run direction alternates by run
-    index (ascending when a single run remains)."""
+    index (ascending when a single run remains).  Planes past KEY_WORDS
+    ride along."""
     r = planes[0].shape[0]
     m = r * LANES
     run = 2 * lr * LANES                      # merged run length, elements
@@ -295,9 +315,7 @@ def _merge_round_xla(planes, lr: int):
         x = [f.reshape(nb, 2, d) for f in flat]
         lo = [xq[:, 0, :] for xq in x]
         hi = [xq[:, 1, :] for xq in x]
-        lo_lt_hi = lo[0] < hi[0]
-        for q in range(1, KEY_WORDS):
-            lo_lt_hi = (lo[q] < hi[q]) | ((lo[q] == hi[q]) & lo_lt_hi)
+        lo_lt_hi = _lex_lt_tb(lo, hi)
         if run >= m:
             asc = True
         else:
@@ -305,9 +323,34 @@ def _merge_round_xla(planes, lr: int):
             asc = ((blk0 // run) % 2) == 0
         take_lo = lo_lt_hi == asc
         flat = []
-        for q in range(KEY_WORDS):
+        for q in range(len(planes)):
             nl = jnp.where(take_lo, lo[q], hi[q])
             nh = jnp.where(take_lo, hi[q], lo[q])
             flat.append(jnp.stack([nl, nh], axis=1).reshape(m))
         d //= 2
     return [f.reshape(r, LANES) for f in flat]
+
+
+def merge_sorted_runs(planes, run_rows: int, interpret: bool = False):
+    """Merge-sort (R, 128) planes whose consecutive `run_rows`-row runs are
+    each already sorted ascending: reverse odd runs to form bitonic pairs,
+    then log2(R/run_rows) bitonic merge rounds.  The first KEY_WORDS planes
+    are the sort key; extra planes (tags) ride along.  Sentinel (all-ones)
+    keys sort to the back as usual."""
+    r = planes[0].shape[0]
+    nruns = r // run_rows
+    assert r % run_rows == 0 and nruns & (nruns - 1) == 0, \
+        "run count must be a power of two"
+    if nruns == 1:
+        return planes
+    rev = []
+    for p in planes:
+        runs = p.reshape(nruns, run_rows * LANES)
+        parity = (lax.broadcasted_iota(jnp.int32, (nruns, 1), 0) % 2) == 1
+        rev.append(jnp.where(parity, runs[:, ::-1], runs).reshape(r, LANES))
+    planes = rev
+    lr = run_rows
+    while lr < r:
+        planes = _merge_round(planes, lr, interpret)
+        lr *= 2
+    return planes

@@ -86,6 +86,69 @@ def test_nonmultiple_g_and_tile_edges():
             assert mat[i, j] == len(sets[i] & sets[j])
 
 
+def test_merge_sorted_runs_with_tag():
+    # Pallas merge tree (interpret): 8 pre-sorted runs + ride-along tag
+    import jax.numpy as jnp
+    from spaced_kmer_sketching_tpu.ops.pallas.sort import merge_sorted_runs
+
+    rng = np.random.default_rng(21)
+    runs, run_elems = 8, 256
+    n = runs * run_elems
+    vals = rng.integers(0, 1 << 30, size=(runs, run_elems), dtype=np.uint32)
+    vals.sort(axis=1)
+    tag = np.broadcast_to(np.arange(runs, dtype=np.uint32)[:, None],
+                          (runs, run_elems)).copy()
+    planes = [jnp.asarray(x.reshape(n // 128, 128))
+              for x in (vals.reshape(n), np.zeros(n, np.uint32),
+                        np.zeros(n, np.uint32), np.zeros(n, np.uint32),
+                        tag.reshape(n))]
+    out = merge_sorted_runs(planes, run_elems // 128, interpret=True)
+    got_v = np.asarray(out[0]).reshape(n)
+    got_t = np.asarray(out[4]).reshape(n)
+    order = np.argsort(vals.reshape(n), kind="stable")
+    assert np.array_equal(got_v, vals.reshape(n)[order])
+    # tags must travel with their keys (keys may repeat: compare multisets
+    # per key value)
+    want_pairs = sorted(zip(vals.reshape(n).tolist(),
+                            tag.reshape(n).tolist()))
+    got_pairs = sorted(zip(got_v.tolist(), got_t.tolist()))
+    assert want_pairs == got_pairs
+
+
+@pytest.mark.parametrize("g,cap", [(8, 128), (6, 256)])
+def test_gram_ondevice_matches_sets(g, cap):
+    import jax
+    from spaced_kmer_sketching_tpu.ops.gram import gram_all_pairs_ondevice
+
+    rng = np.random.default_rng(31)
+    keys, counts, sets = make_sketches(rng, g, cap, shared=40, priv=30,
+                                       wide=True)
+    mat = np.asarray(gram_all_pairs_ondevice(
+        jax.numpy.asarray(keys), jax.numpy.asarray(counts), chunk=128,
+        interpret=True))
+    for i in range(g):
+        for j in range(g):
+            assert mat[i, j] == len(sets[i] & sets[j]), (i, j)
+
+
+def test_gram_ondevice_boundary_straddle():
+    # a key shared by EVERY genome, G == chunk/16 copies landing around
+    # chunk boundaries: exercises the carry correction
+    import jax
+    from spaced_kmer_sketching_tpu.ops.gram import gram_all_pairs_ondevice
+
+    rng = np.random.default_rng(33)
+    g, cap = 8, 128
+    keys, counts, sets = make_sketches(rng, g, cap, shared=90, priv=20)
+    mat = np.asarray(gram_all_pairs_ondevice(
+        jax.numpy.asarray(keys), jax.numpy.asarray(counts), chunk=128,
+        interpret=True))
+    for i in range(g):
+        for j in range(g):
+            assert mat[i, j] == len(sets[i] & sets[j]), (i, j)
+    assert np.array_equal(np.diag(mat), counts)
+
+
 def test_rank_layout_bit_budget():
     rng = np.random.default_rng(2)
     keys, counts, sets = make_sketches(rng, 12, 512)
