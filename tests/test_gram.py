@@ -160,3 +160,21 @@ def test_rank_layout_bit_budget():
     # total set bits == total valid keys
     bits = np.unpackbits(packed.view(np.uint8))
     assert int(bits.sum()) == int(counts.sum())
+
+
+def test_gram_ondevice_xla_fallback():
+    # interpret=False on a non-TPU backend takes the lax.sort fallback
+    # (word significance there must match the merge path's comparator)
+    import jax
+    from spaced_kmer_sketching_tpu.ops.gram import gram_all_pairs_ondevice
+
+    rng = np.random.default_rng(37)
+    g, cap = 8, 128
+    keys, counts, sets = make_sketches(rng, g, cap, shared=50, priv=25,
+                                       wide=True)
+    mat = np.asarray(gram_all_pairs_ondevice(
+        jax.numpy.asarray(keys), jax.numpy.asarray(counts), chunk=128))
+    for i in range(g):
+        for j in range(g):
+            assert mat[i, j] == len(sets[i] & sets[j]), (i, j)
+    assert np.array_equal(np.diag(mat), counts)
