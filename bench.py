@@ -36,11 +36,16 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=20)
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--scale", type=int, default=200)
-    ap.add_argument("--mode", choices=("sketch", "allpairs"), default="sketch",
+    ap.add_argument("--mode", choices=("sketch", "allpairs", "multiseed"),
+                    default="sketch",
                     help="sketch: fused extraction step (headline); "
-                         "allpairs: G x G ANI matrix throughput")
+                         "allpairs: G x G ANI matrix throughput; "
+                         "multiseed: S seeds fused over one genome "
+                         "(BASELINE config 3)")
     ap.add_argument("--genomes", type=int, default=128,
                     help="G for --mode allpairs")
+    ap.add_argument("--seeds", type=int, default=8,
+                    help="S for --mode multiseed")
     ap.add_argument("--batch", type=int, default=8,
                     help="genomes per device dispatch in --mode sketch")
     ap.add_argument("--no-verify", action="store_true",
@@ -81,6 +86,8 @@ def main() -> int:
 
     if args.mode == "allpairs":
         return bench_allpairs(args)
+    if args.mode == "multiseed":
+        return bench_multiseed(args)
 
     window, k, scale = args.window, args.k, args.scale
     n, g = args.nt, args.batch
@@ -401,6 +408,93 @@ def bench_allpairs(args) -> int:
         "layout_build_warm_ms": (round(build_warm_ms, 3)
                                  if build_warm_ms is not None else None),
         "correction_ms": round(corr_ms, 3),
+        "verified": verified,
+    }
+    print(json.dumps(result))
+    return 0 if verified in (True, None) else 1
+
+
+def bench_multiseed(args) -> int:
+    """S spaced seeds fused over one genome in a single dispatch
+    (BASELINE.json config 3 — the EP analog: "experts" = seeds, all dense).
+    Verifies every per-seed sketch key array against the native pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from spaced_kmer_sketching_tpu.ops import u64ops
+    from spaced_kmer_sketching_tpu.ops.extract import run_ids_from_lens
+    from spaced_kmer_sketching_tpu.ops.sketch import sketch_from_codes_multiseed
+    from spaced_kmer_sketching_tpu.utils import boosthash, native
+    from spaced_kmer_sketching_tpu.utils.masks import spaced_seed_mask
+
+    window, k, scale, s = args.window, args.k, args.scale, args.seeds
+    n = args.nt
+    masks = [spaced_seed_mask(window, k, seed) for seed in range(s)]
+    salts = [boosthash.fmh_salt(m.lo, m.hi, window, 1, "modern")
+             for m in masks]
+    masks_w = jnp.asarray(np.stack([m.words_u32 for m in masks]))
+    salt_pairs = jnp.asarray(np.stack([u64ops.salt_pair(x) for x in salts]))
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, n).astype(np.uint32)
+    run_id = run_ids_from_lens([n], n)
+    capacity = 1 << max(10, (max(1, 2 * n // scale)).bit_length())
+    codes_d, rid_d = jnp.asarray(codes), jnp.asarray(run_id)
+
+    def step():
+        return sketch_from_codes_multiseed(
+            codes_d, rid_d, masks_w, salt_pairs, window=window, scale=scale,
+            variant="modern", capacity=capacity)
+
+    out = step()
+    np.asarray(out.count)             # compile + forced completion
+    assert int(np.asarray(out.raw_kept).max()) <= capacity
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = step()
+    np.asarray(out.count)
+    dt = (time.perf_counter() - t0) / args.iters
+    window_seeds = s * (n - window + 1)
+    tpu_rate = window_seeds / dt
+
+    cpu_rate = None
+    if native.available():
+        runs_lens = np.array([n], dtype=np.int64)
+        codes8 = codes.astype(np.uint8)
+        t0 = time.perf_counter()
+        for m, salt in zip(masks, salts):
+            native.sketch_codes(codes8, runs_lens, m.lo, m.hi, window, salt,
+                                scale, False)
+        cpu_rate = window_seeds / (time.perf_counter() - t0)
+
+    verified = None
+    if native.available() and not args.no_verify:
+        verified = True
+        runs_lens = np.array([n], dtype=np.int64)
+        keys_dev = np.asarray(out.keys).astype(np.uint64)
+        cnt_dev = np.asarray(out.count)
+        for i, (m, salt) in enumerate(zip(masks, salts)):
+            ref = native.sketch_codes(codes.astype(np.uint8), runs_lens,
+                                      m.lo, m.hi, window, salt, scale, False)
+            c = int(cnt_dev[i])
+            lo = keys_dev[i, :c, 0] | (keys_dev[i, :c, 1] << np.uint64(32))
+            hi = keys_dev[i, :c, 2] | (keys_dev[i, :c, 3] << np.uint64(32))
+            if (c != ref.shape[0] or not np.array_equal(lo, ref[:, 0])
+                    or not np.array_equal(hi, ref[:, 1])):
+                verified = False
+                print(f"VERIFY FAIL seed {i}: device count {c} vs native "
+                      f"{ref.shape[0]}; first mismatch at "
+                      f"{_first_mismatch(lo, hi, ref)}", file=sys.stderr)
+
+    result = {
+        "metric": "multiseed_window_seeds_per_s",
+        "value": round(tpu_rate, 1),
+        "unit": "window-seeds/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 3) if cpu_rate else None,
+        "baseline_cpu_scalar_window_seeds_per_s": (round(cpu_rate, 1)
+                                                   if cpu_rate else None),
+        "platform": jax.devices()[0].platform,
+        "nt": n, "seeds": s, "window": window, "k": k, "scale": scale,
+        "step_ms": round(dt * 1e3, 3),
         "verified": verified,
     }
     print(json.dumps(result))
