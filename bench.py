@@ -36,16 +36,21 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=20)
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--scale", type=int, default=200)
-    ap.add_argument("--mode", choices=("sketch", "allpairs", "multiseed"),
+    ap.add_argument("--mode",
+                    choices=("sketch", "allpairs", "multiseed", "stream"),
                     default="sketch",
                     help="sketch: fused extraction step (headline); "
                          "allpairs: G x G ANI matrix throughput; "
                          "multiseed: S seeds fused over one genome "
-                         "(BASELINE config 3)")
+                         "(BASELINE config 3); "
+                         "stream: bounded-memory FASTA-to-sketch of one "
+                         "long genome (BASELINE config 5)")
     ap.add_argument("--genomes", type=int, default=128,
                     help="G for --mode allpairs")
     ap.add_argument("--seeds", type=int, default=8,
                     help="S for --mode multiseed")
+    ap.add_argument("--segment-nt", type=int, default=1 << 24,
+                    help="streaming segment size for --mode stream")
     ap.add_argument("--batch", type=int, default=8,
                     help="genomes per device dispatch in --mode sketch")
     ap.add_argument("--no-verify", action="store_true",
@@ -88,6 +93,8 @@ def main() -> int:
         return bench_allpairs(args)
     if args.mode == "multiseed":
         return bench_multiseed(args)
+    if args.mode == "stream":
+        return bench_stream(args)
 
     window, k, scale = args.window, args.k, args.scale
     n, g = args.nt, args.batch
@@ -306,12 +313,11 @@ def bench_allpairs(args) -> int:
         corr_ms = (time.perf_counter() - t0) * 1e3
     elif args.ondevice:
         from spaced_kmer_sketching_tpu.ops.gram import gram_all_pairs_ondevice
-        chunk = max(512, -(-g // 128) * 128)
         keys_dev = jnp.asarray(keys_np)
         counts_dev = jnp.asarray(counts_np)
 
         def allpairs():
-            return gram_all_pairs_ondevice(keys_dev, counts_dev, chunk=chunk)
+            return gram_all_pairs_ondevice(keys_dev, counts_dev)
 
         out = allpairs()
         checksum = int(np.asarray(out.sum()))    # compile + force
@@ -408,6 +414,94 @@ def bench_allpairs(args) -> int:
         "layout_build_warm_ms": (round(build_warm_ms, 3)
                                  if build_warm_ms is not None else None),
         "correction_ms": round(corr_ms, 3),
+        "verified": verified,
+    }
+    print(json.dumps(result))
+    return 0 if verified in (True, None) else 1
+
+
+def bench_stream(args) -> int:
+    """Bounded-memory whole-file sketch of one long genome (BASELINE
+    config 5): synthesize an --nt FASTA on disk, run the full streaming
+    pipeline (native two-pass parse -> host 2-bit pack -> device
+    extract/filter/dedup per segment -> on-device sketch merge) end to end,
+    and verify the final key array bit-exactly against the native C++
+    whole-genome pipeline.  Reported rate is wall-clock nt/s including all
+    host work — the honest config-5 number, not a kernel number."""
+    import os
+    import resource
+    import tempfile
+
+    import jax
+
+    from spaced_kmer_sketching_tpu.config import SketchConfig
+    from spaced_kmer_sketching_tpu.models.fracminhash import (
+        FracMinHashSketcher)
+    from spaced_kmer_sketching_tpu.utils import native
+
+    window, k, scale, n = args.window, args.k, args.scale, args.nt
+    rng = np.random.default_rng(0)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fd, path = tempfile.mkstemp(suffix=".fa", prefix="sks_stream_")
+    line = 1 << 22
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(b">stream_bench\n")
+            for off in range(0, n, line):
+                m = min(line, n - off)
+                codes = rng.integers(0, 4, m).astype(np.uint8)
+                f.write(lut[codes].tobytes())
+                f.write(b"\n")
+
+        sk = FracMinHashSketcher(SketchConfig(window=window, k=k,
+                                              scale=scale))
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        t0 = time.perf_counter()
+        sketch = sk.sketch_file_streaming(path, segment_nt=args.segment_nt)
+        dt = time.perf_counter() - t0
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        rate = (n - window + 1) / dt
+
+        cpu_rate = None
+        verified = None
+        if native.available() and not args.no_verify:
+            # whole-genome native oracle (O(nt) host memory, verify only)
+            rng2 = np.random.default_rng(0)
+            codes = np.concatenate(
+                [rng2.integers(0, 4, min(line, n - off)).astype(np.uint8)
+                 for off in range(0, n, line)])
+            t0 = time.perf_counter()
+            ref = native.sketch_codes(codes, np.array([n], np.int64),
+                                      sk.mask.lo, sk.mask.hi, window,
+                                      sk.salt, scale, False)
+            cpu_rate = (n - window + 1) / (time.perf_counter() - t0)
+            lo = (sketch.keys[:, 0].astype(np.uint64)
+                  | (sketch.keys[:, 1].astype(np.uint64) << 32))
+            hi = (sketch.keys[:, 2].astype(np.uint64)
+                  | (sketch.keys[:, 3].astype(np.uint64) << 32))
+            verified = (sketch.count == ref.shape[0]
+                        and np.array_equal(lo, ref[:, 0])
+                        and np.array_equal(hi, ref[:, 1]))
+            if not verified:
+                print(f"VERIFY FAIL stream: device count {sketch.count} vs "
+                      f"native {ref.shape[0]}; first mismatch at "
+                      f"{_first_mismatch(lo, hi, ref)}", file=sys.stderr)
+    finally:
+        os.unlink(path)
+
+    result = {
+        "metric": "stream_nt_per_s",
+        "value": round(rate, 1),
+        "unit": "nt/s",
+        "vs_baseline": round(rate / cpu_rate, 3) if cpu_rate else None,
+        "baseline_cpu_scalar_nt_per_s": (round(cpu_rate, 1)
+                                         if cpu_rate else None),
+        "platform": jax.devices()[0].platform,
+        "nt": n, "segment_nt": args.segment_nt, "window": window, "k": k,
+        "scale": scale, "sketch_count": int(sketch.count),
+        "wall_s": round(dt, 3),
+        "peak_rss_gb": round(rss / 1e6, 3),
+        "peak_rss_before_gb": round(rss0 / 1e6, 3),
         "verified": verified,
     }
     print(json.dumps(result))

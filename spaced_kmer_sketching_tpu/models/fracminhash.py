@@ -388,9 +388,8 @@ class FracMinHashSketcher:
         if (jax.default_backend() == "tpu" and g <= 2048
                 and cap >= 128 and cap % 128 == 0):
             import jax.numpy as jnp
-            chunk = max(512, -(-g // 128) * 128)
             return np.asarray(gram_all_pairs_ondevice(
-                jnp.asarray(keys_np), jnp.asarray(counts_np), chunk=chunk))
+                jnp.asarray(keys_np), jnp.asarray(counts_np)))
         return gram_all_pairs(keys_np, counts_np).astype(np.int32)
 
     def all_pairs_intersections_probe(self, sketches: Sequence[Sketch],

@@ -144,50 +144,72 @@ def gram_all_pairs(keys, counts, *, tile: int = 2048) -> np.ndarray:
 # key appears at most once per sketch).
 
 
-def _gram_from_sorted_chunks(sw, sg, g: int, gp: int, chunk: int):
+def _gram_from_sorted_chunks(sw, sg, g: int, gp: int, chunk: int,
+                             binner: int = 32):
     """sw: 4 x (N,) sorted key words; sg: (N,) genome ids (int32).
-    Returns (gp, gp) f32 Gram accumulated over N/chunk chunks."""
+    Returns (gp, gp) f32 Gram accumulated over N/chunk chunks.
+
+    `binner` chunks are processed per scan step as one batched E·S
+    dot_general plus a single flattened S^T·T product — a per-chunk scan
+    spent most of its time in per-iteration overhead and tiny matmuls.
+    Boundary corrections between consecutive chunks (a key run straddling
+    a boundary contributes a^T a + b^T b instead of (a+b)^T (a+b)) are
+    vectorized across the batch: pa_all[b] = a[b-1] with the scan carry
+    supplying chunk -1, and the missing Σ_b (pa_b b_b^T + b_b pa_b^T) is
+    two rank-B outer-product matmuls."""
     n = sw[0].shape[0]
     nchunks = n // chunk
-    xs = [w.reshape(nchunks, chunk) for w in sw] + [
-        sg.reshape(nchunks, chunk)]
+    binner = max(1, min(binner, nchunks))
+    while nchunks % binner:
+        binner -= 1
+    outer = nchunks // binner
+    xs = [w.reshape(outer, binner, chunk) for w in sw] + [
+        sg.reshape(outer, binner, chunk)]
 
     sent = jnp.uint32(0xFFFFFFFF)
+    gids = jnp.arange(gp, dtype=jnp.int32)
 
     def body(carry, x):
-        acc, pk, pa = carry
-        w = x[:4]
+        acc, pk, pa = carry            # pk: 4 x () u32, pa: (Gp,) f32
+        w = x[:4]                      # each (B, C)
         gid = x[4].astype(jnp.int32)
         valid = (w[0] != sent) | (w[1] != sent) | (w[2] != sent) \
             | (w[3] != sent)
-        # S: one-hot genome rows, zeroed for sentinel entries
-        gids = jnp.arange(gp, dtype=jnp.int32)
-        s = ((gid[:, None] == gids[None, :]) & valid[:, None]) \
-            .astype(jnp.bfloat16)                        # (C, Gp)
-        # E: key-equality indicator within the chunk
-        eq = jnp.ones((chunk, chunk), jnp.bool_)
+        # S: one-hot genome rows, zeroed for sentinel entries   (B, C, Gp)
+        s = ((gid[:, :, None] == gids[None, None, :]) & valid[:, :, None]) \
+            .astype(jnp.bfloat16)
+        # E: key-equality indicator within each chunk           (B, C, C)
+        eq = jnp.ones((binner, chunk, chunk), jnp.bool_)
         for q in range(4):
-            eq = eq & (w[q][:, None] == w[q][None, :])
+            eq = eq & (w[q][:, :, None] == w[q][:, None, :])
         e = eq.astype(jnp.bfloat16)
-        t = jnp.dot(e, s, preferred_element_type=jnp.float32)  # (C, Gp)
-        acc = acc + jnp.dot(s.T.astype(jnp.bfloat16),
-                            t.astype(jnp.bfloat16),
+        # T[b,c,g] = does genome g hold key_{b,c} in chunk b — 0/1, so
+        # bf16-exact for the second product
+        t = lax.dot_general(e, s, (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
-        # boundary correction with the previous chunk
-        eqp = valid
-        for q in range(4):
-            eqp = eqp & (w[q] == pk[q])
-        b = jnp.sum(jnp.where(eqp[:, None], s, 0).astype(jnp.float32),
-                    axis=0)                              # (Gp,)
-        acc = acc + pa[:, None] * b[None, :] + b[:, None] * pa[None, :]
-        # carry: this chunk's last key and its genome vector
-        lk = [w[q][-1] for q in range(4)]
+        acc = acc + jnp.dot(s.reshape(binner * chunk, gp).T,
+                            t.reshape(binner * chunk, gp)
+                            .astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        # per-chunk last key + its genome vector a              (B, Gp)
+        lk = [w[q][:, -1] for q in range(4)]
         eql = valid
         for q in range(4):
-            eql = eql & (w[q] == lk[q])
-        a = jnp.sum(jnp.where(eql[:, None], s, 0).astype(jnp.float32),
-                    axis=0)
-        return (acc, lk, a), None
+            eql = eql & (w[q] == lk[q][:, None])
+        a = jnp.einsum("bc,bcg->bg", eql.astype(jnp.float32),
+                       s.astype(jnp.float32))
+        # previous-chunk key/vector per chunk (carry fills chunk -1)
+        pk_all = [jnp.concatenate([pk[q][None], lk[q][:-1]])
+                  for q in range(4)]
+        pa_all = jnp.concatenate([pa[None], a[:-1]], axis=0)   # (B, Gp)
+        eqp = valid
+        for q in range(4):
+            eqp = eqp & (w[q] == pk_all[q][:, None])
+        b = jnp.einsum("bc,bcg->bg", eqp.astype(jnp.float32),
+                       s.astype(jnp.float32))                  # (B, Gp)
+        corr = jnp.dot(pa_all.T, b)                            # (Gp, Gp)
+        acc = acc + corr + corr.T
+        return (acc, [lk[q][-1] for q in range(4)], a[-1]), None
 
     acc0 = jnp.zeros((gp, gp), jnp.float32)
     pk0 = [jnp.full((), 0xFFFFFFFF, jnp.uint32) for _ in range(4)]
@@ -197,18 +219,22 @@ def _gram_from_sorted_chunks(sw, sg, g: int, gp: int, chunk: int):
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
-def gram_all_pairs_ondevice(keys, counts, *, chunk: int = 512,
+def gram_all_pairs_ondevice(keys, counts, *, chunk: int | None = None,
                             interpret: bool = False):
     """Exact (G, G) int32 all-pairs intersection matrix, computed without
     any host round-trip: keys (G, cap, 4) uint32 device sketches (sorted
     unique, sentinel padded — SketchBatch.keys layout), counts (G,).
 
-    Requires chunk >= G (one key contributes at most G entries) and
-    cap * G a multiple of chunk with a power-of-two run count; pads
-    genomes to gp = ceil128(G) for the MXU."""
+    Requires chunk >= G (one key contributes at most G entries, so a run
+    spans at most one chunk boundary) and a multiple of LANES; the default
+    picks the smallest legal chunk — the E-matrix work is O(N * chunk), so
+    smaller is strictly cheaper.  Pads genomes to gp = ceil128(G) for the
+    MXU."""
     from .pallas.sort import LANES, merge_sorted_runs
 
     g, cap, _ = keys.shape
+    if chunk is None:
+        chunk = max(LANES, -(-g // LANES) * LANES)
     assert chunk >= g, "chunk must be >= G (one entry per key per sketch)"
     assert chunk % LANES == 0
     gp = max(LANES, -(-g // LANES) * LANES)

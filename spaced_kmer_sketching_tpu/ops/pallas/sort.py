@@ -279,11 +279,66 @@ def _merge_round_kernel(lr: int, final: bool, nplanes: int, *refs):
 MERGE_PALLAS_MAX_ROWS = 1024      # 2*lr beyond this overflows scoped VMEM
 
 
+def _merge_finish_kernel(d0: int, blk_rows: int, run_rows: int, final: bool,
+                         nplanes: int, *refs):
+    """All bitonic-merge passes at distances d0, d0/2, ..., 1 for one
+    aligned blk_rows-row block — every such pass keeps i^d inside the
+    block (d0 < blk_rows*LANES, both powers of two), so after the global
+    cross-block passes have run, one kernel finishes the round entirely in
+    VMEM.  Direction is constant per block: the block's position within
+    its 2*lr-row merged run (run_rows rows) fixes the run parity."""
+    ins, outs = refs[:nplanes], refs[nplanes:]
+    x = [w[:] for w in ins]
+    shape = x[0].shape
+    row = lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = lax.broadcasted_iota(jnp.int32, shape, 1)
+    flat = row * LANES + lane
+    if final:
+        asc = jnp.full(shape, True)
+    else:
+        asc = ((pl.program_id(0) * blk_rows) // run_rows % 2) == 0
+    d = d0
+    while d >= 1:
+        p = [_partner(w, d) for w in x]
+        x_lt_p = _lex_lt_tb(x, p)
+        lower = (flat & d) == 0
+        want_x = (lower == asc) == x_lt_p
+        x = [jnp.where(want_x, xi, pi) for xi, pi in zip(x, p)]
+        d //= 2
+    for o, xi in zip(outs, x):
+        o[:] = xi
+
+
+def _merge_finish(planes, lr: int, blk_rows: int, interpret):
+    r = planes[0].shape[0]
+    np_ = len(planes)
+    kern = functools.partial(_merge_finish_kernel, blk_rows * LANES // 2,
+                             blk_rows, 2 * lr, 2 * lr == r, np_)
+    return pl.pallas_call(
+        kern,
+        grid=(r // blk_rows,),
+        in_specs=[pl.BlockSpec((blk_rows, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * np_,
+        out_specs=[pl.BlockSpec((blk_rows, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)] * np_,
+        out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.uint32)] * np_,
+        interpret=interpret,
+    )(*planes)
+
+
 def _merge_round(planes, lr: int, interpret):
     r = planes[0].shape[0]
     np_ = len(planes)
     if 2 * lr > MERGE_PALLAS_MAX_ROWS:
-        return _merge_round_xla(planes, lr)
+        # hybrid: only the cross-block passes (row distance >= blk) run as
+        # XLA HBM passes — log2(2*lr/blk) of them instead of the full
+        # log2(2*lr*LANES); everything below finishes in one VMEM kernel.
+        blk = MERGE_PALLAS_MAX_ROWS
+        d = lr * LANES
+        while d >= blk * LANES:
+            planes = _merge_pass_xla(planes, d, 2 * lr * LANES)
+            d //= 2
+        return _merge_finish(planes, lr, blk, interpret)
     blocks = r // (2 * lr)
     kern = functools.partial(_merge_round_kernel, lr, blocks == 1, np_)
     return pl.pallas_call(
@@ -298,37 +353,31 @@ def _merge_round(planes, lr: int, interpret):
     )(*planes)
 
 
-def _merge_round_xla(planes, lr: int):
-    """One bitonic-merge round as plain XLA compare-exchange passes — used
-    when the 2*lr-row block exceeds scoped VMEM.  Each pass at distance d is
-    a reshape to (blocks, 2, d) + lexicographic min/max select (pure
-    elementwise, no sort/top_k/gather); run direction alternates by run
-    index (ascending when a single run remains).  Planes past KEY_WORDS
-    ride along."""
+def _merge_pass_xla(planes, d: int, run: int):
+    """One bitonic compare-exchange pass at element distance d as plain XLA
+    (reshape to (blocks, 2, d) + lexicographic min/max select — pure
+    elementwise, no sort/top_k/gather).  `run` is the merged run length in
+    elements; direction alternates per run (ascending when a single run
+    remains).  Planes past KEY_WORDS ride along."""
     r = planes[0].shape[0]
     m = r * LANES
-    run = 2 * lr * LANES                      # merged run length, elements
-    flat = [p.reshape(m) for p in planes]
-    d = lr * LANES
-    while d >= 1:
-        nb = m // (2 * d)
-        x = [f.reshape(nb, 2, d) for f in flat]
-        lo = [xq[:, 0, :] for xq in x]
-        hi = [xq[:, 1, :] for xq in x]
-        lo_lt_hi = _lex_lt_tb(lo, hi)
-        if run >= m:
-            asc = True
-        else:
-            blk0 = lax.broadcasted_iota(jnp.int32, (nb, 1), 0) * (2 * d)
-            asc = ((blk0 // run) % 2) == 0
-        take_lo = lo_lt_hi == asc
-        flat = []
-        for q in range(len(planes)):
-            nl = jnp.where(take_lo, lo[q], hi[q])
-            nh = jnp.where(take_lo, hi[q], lo[q])
-            flat.append(jnp.stack([nl, nh], axis=1).reshape(m))
-        d //= 2
-    return [f.reshape(r, LANES) for f in flat]
+    nb = m // (2 * d)
+    x = [p.reshape(nb, 2, d) for p in planes]
+    lo = [xq[:, 0, :] for xq in x]
+    hi = [xq[:, 1, :] for xq in x]
+    lo_lt_hi = _lex_lt_tb(lo, hi)
+    if run >= m:
+        asc = True
+    else:
+        blk0 = lax.broadcasted_iota(jnp.int32, (nb, 1), 0) * (2 * d)
+        asc = ((blk0 // run) % 2) == 0
+    take_lo = lo_lt_hi == asc
+    out = []
+    for q in range(len(planes)):
+        nl = jnp.where(take_lo, lo[q], hi[q])
+        nh = jnp.where(take_lo, hi[q], lo[q])
+        out.append(jnp.stack([nl, nh], axis=1).reshape(r, LANES))
+    return out
 
 
 def merge_sorted_runs(planes, run_rows: int, interpret: bool = False):

@@ -53,18 +53,25 @@ def sharded_all_pairs_rect_fn(mesh: Mesh):
 
 
 def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
-                      out=None):
+                      out=None, engine: str = "auto"):
     """Memory-bounded all-pairs schedule for genome counts whose stacked
     sketches exceed device memory: the (G, G) matrix is computed in
-    (block x block) macro-tiles, each tiled over the mesh by
-    sharded_all_pairs_rect_fn.  `keys` may be a numpy array or a callable
+    (block x block) macro-tiles.  `keys` may be a numpy array or a callable
     block-provider `keys(i0, i1) -> (np keys (i1-i0, cap, 4), np counts)`
     (e.g. reading from store.SketchStore) so the full matrix operand never
     materializes in host memory either.
 
-    Row blocks are uploaded once and reused across the whole column sweep —
-    the block-row/column reuse schedule of SURVEY.md §7 (reference semantics:
-    ordered pairs incl. self, generators.hpp:45-58)."""
+    engine='probe' tiles each macro-tile over the mesh with the
+    binary-search kernel (sharded_all_pairs_rect_fn; row blocks stay
+    device-resident while column blocks stream — the block-row/column
+    reuse schedule of SURVEY.md §7).  engine='gram' stacks the row and
+    column blocks and runs the fully on-device MXU Gram engine
+    (ops/gram.gram_all_pairs_ondevice) per macro-tile; intersection counts
+    are symmetric, so one stacked tile fills BOTH (bi, bj) and (bj, bi)
+    and only the upper triangle of macro-tiles is computed.  'auto' picks
+    gram on TPU (where gathers make the probe ~287 pairs/s) and probe
+    elsewhere.  Reference semantics: ordered pairs incl. self,
+    src/generators.hpp:45-58."""
     import numpy as np
 
     if callable(keys):
@@ -77,9 +84,29 @@ def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
         def provider(i0, i1):
             return kk[i0:i1], cc[i0:i1]
 
-    fn = sharded_all_pairs_rect_fn(mesh)
+    if engine == "auto":
+        engine = "gram" if jax.default_backend() == "tpu" else "probe"
     out = out if out is not None else np.zeros((g, g), np.int32)
     nb = (g + block - 1) // block
+    if engine == "gram":
+        from ..ops.gram import gram_all_pairs_ondevice
+        for bi in range(nb):
+            r0, r1 = bi * block, min(g, (bi + 1) * block)
+            krow, crow = provider(r0, r1)
+            out[r0:r1, r0:r1] = np.asarray(gram_all_pairs_ondevice(
+                jnp.asarray(krow), jnp.asarray(crow)))
+            for bj in range(bi + 1, nb):
+                c0, c1 = bj * block, min(g, (bj + 1) * block)
+                kcol, ccol = provider(c0, c1)
+                ks = jnp.asarray(np.concatenate([krow, kcol]))
+                cs = jnp.asarray(np.concatenate([crow, ccol]))
+                mat = np.asarray(gram_all_pairs_ondevice(ks, cs))
+                r = r1 - r0
+                out[r0:r1, c0:c1] = mat[:r, r:]
+                out[c0:c1, r0:r1] = mat[r:, :r]
+        return out
+
+    fn = sharded_all_pairs_rect_fn(mesh)
     for bi in range(nb):
         r0, r1 = bi * block, min(g, (bi + 1) * block)
         krow, crow = provider(r0, r1)

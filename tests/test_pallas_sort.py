@@ -53,6 +53,55 @@ def test_sort_truncate_sparse_candidates():
     np.testing.assert_array_equal(out, want)
 
 
+def test_hybrid_merge_round(monkeypatch):
+    """Rounds with 2*lr > MERGE_PALLAS_MAX_ROWS split into XLA cross-block
+    passes + one VMEM finish kernel; shrink the threshold so the hybrid
+    path runs at test size, with a ride-along tag plane."""
+    from spaced_kmer_sketching_tpu.ops.pallas import sort as sort_mod
+
+    monkeypatch.setattr(sort_mod, "MERGE_PALLAS_MAX_ROWS", 16)
+    rng = np.random.default_rng(77)
+    run_rows, nruns = 16, 8
+    r = run_rows * nruns                      # 128 rows, every round hybrid
+    n = r * 128
+    vals = rng.integers(0, 1 << 30, size=(nruns, run_rows * 128),
+                        dtype=np.uint32)
+    vals.sort(axis=1)
+    tag = np.broadcast_to(np.arange(nruns, dtype=np.uint32)[:, None],
+                          (nruns, run_rows * 128)).copy()
+    planes = [jnp.asarray(x.reshape(r, 128))
+              for x in (vals.reshape(n), np.zeros(n, np.uint32),
+                        np.zeros(n, np.uint32), np.zeros(n, np.uint32),
+                        tag.reshape(n))]
+    out = sort_mod.merge_sorted_runs(planes, run_rows, interpret=True)
+    got_v = np.asarray(out[0]).reshape(n)
+    got_t = np.asarray(out[4]).reshape(n)
+    order = np.argsort(vals.reshape(n), kind="stable")
+    np.testing.assert_array_equal(got_v, vals.reshape(n)[order])
+    assert (sorted(zip(vals.reshape(n).tolist(), tag.reshape(n).tolist()))
+            == sorted(zip(got_v.tolist(), got_t.tolist())))
+
+
+def test_hybrid_merge_round_real_threshold():
+    """One real-size hybrid round: merge two sorted 1024-row runs (the
+    smallest size that crosses MERGE_PALLAS_MAX_ROWS) and check the result
+    against numpy."""
+    from spaced_kmer_sketching_tpu.ops.pallas.sort import merge_sorted_runs
+
+    rng = np.random.default_rng(78)
+    run_rows, nruns = 1024, 2
+    r = run_rows * nruns
+    n = r * 128
+    vals = rng.integers(0, 1 << 32, size=(nruns, run_rows * 128),
+                        dtype=np.uint64).astype(np.uint32)
+    vals.sort(axis=1)
+    planes = [jnp.asarray(vals.reshape(r, 128))] + [
+        jnp.zeros((r, 128), jnp.uint32)] * 3
+    out = merge_sorted_runs(planes, run_rows, interpret=True)
+    got = np.asarray(out[0]).reshape(n)
+    np.testing.assert_array_equal(got, np.sort(vals.reshape(n)))
+
+
 @pytest.mark.parametrize("run_rows", [4, 32])
 def test_multi_run_sort_alternating_directions(run_rows):
     """Exercises the multi-run kernel specifically: runs-per-block must be

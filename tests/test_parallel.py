@@ -271,6 +271,11 @@ def test_blocked_all_pairs_matches_tile():
     got2 = blocked_all_pairs(mesh, provider, g, block=8)
     np.testing.assert_array_equal(got2, want)
 
+    # the TPU macro-tile engine (stacked on-device Gram, upper-triangle
+    # sweep with symmetric fill) must agree tile-for-tile
+    got3 = blocked_all_pairs(mesh, provider, g, block=8, engine="gram")
+    np.testing.assert_array_equal(got3, want)
+
 
 def test_sharded_gram_matches_sets(mesh, genomes):
     """MXU Gram all-pairs with union tiles sharded over the mesh equals
