@@ -377,7 +377,8 @@ class FracMinHashSketcher:
         fallback (engine='probe')."""
         import jax
 
-        from ..ops.gram import gram_all_pairs, gram_all_pairs_ondevice
+        from ..ops.gram import (gram_all_pairs, gram_all_pairs_ondevice,
+                                key_words_for_window)
         g = len(sketches)
         cap = max(1, _next_pow2(max([s.count for s in sketches] or [1])))
         keys_np = np.full((g, cap, 4), 0xFFFFFFFF, dtype=np.uint32)
@@ -389,7 +390,8 @@ class FracMinHashSketcher:
                 and cap >= 128 and cap % 128 == 0):
             import jax.numpy as jnp
             return np.asarray(gram_all_pairs_ondevice(
-                jnp.asarray(keys_np), jnp.asarray(counts_np)))
+                jnp.asarray(keys_np), jnp.asarray(counts_np),
+                key_words=key_words_for_window(self.config.window)))
         return gram_all_pairs(keys_np, counts_np).astype(np.int32)
 
     def all_pairs_intersections_probe(self, sketches: Sequence[Sketch],

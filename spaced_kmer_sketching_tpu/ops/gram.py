@@ -158,6 +158,7 @@ def _gram_from_sorted_chunks(sw, sg, g: int, gp: int, chunk: int,
     supplying chunk -1, and the missing Σ_b (pa_b b_b^T + b_b pa_b^T) is
     two rank-B outer-product matmuls."""
     n = sw[0].shape[0]
+    kw = len(sw)                       # active key words (<= 4)
     nchunks = n // chunk
     binner = max(1, min(binner, nchunks))
     while nchunks % binner:
@@ -170,17 +171,18 @@ def _gram_from_sorted_chunks(sw, sg, g: int, gp: int, chunk: int,
     gids = jnp.arange(gp, dtype=jnp.int32)
 
     def body(carry, x):
-        acc, pk, pa = carry            # pk: 4 x () u32, pa: (Gp,) f32
-        w = x[:4]                      # each (B, C)
-        gid = x[4].astype(jnp.int32)
-        valid = (w[0] != sent) | (w[1] != sent) | (w[2] != sent) \
-            | (w[3] != sent)
+        acc, pk, pa = carry            # pk: kw x () u32, pa: (Gp,) f32
+        w = x[:kw]                     # each (B, C)
+        gid = x[kw].astype(jnp.int32)
+        valid = w[0] != sent
+        for q in range(1, kw):
+            valid = valid | (w[q] != sent)
         # S: one-hot genome rows, zeroed for sentinel entries   (B, C, Gp)
         s = ((gid[:, :, None] == gids[None, None, :]) & valid[:, :, None]) \
             .astype(jnp.bfloat16)
         # E: key-equality indicator within each chunk           (B, C, C)
         eq = jnp.ones((binner, chunk, chunk), jnp.bool_)
-        for q in range(4):
+        for q in range(kw):
             eq = eq & (w[q][:, :, None] == w[q][:, None, :])
         e = eq.astype(jnp.bfloat16)
         # T[b,c,g] = does genome g hold key_{b,c} in chunk b — 0/1, so
@@ -192,35 +194,47 @@ def _gram_from_sorted_chunks(sw, sg, g: int, gp: int, chunk: int,
                             .astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)
         # per-chunk last key + its genome vector a              (B, Gp)
-        lk = [w[q][:, -1] for q in range(4)]
+        lk = [w[q][:, -1] for q in range(kw)]
         eql = valid
-        for q in range(4):
+        for q in range(kw):
             eql = eql & (w[q] == lk[q][:, None])
         a = jnp.einsum("bc,bcg->bg", eql.astype(jnp.float32),
                        s.astype(jnp.float32))
         # previous-chunk key/vector per chunk (carry fills chunk -1)
         pk_all = [jnp.concatenate([pk[q][None], lk[q][:-1]])
-                  for q in range(4)]
+                  for q in range(kw)]
         pa_all = jnp.concatenate([pa[None], a[:-1]], axis=0)   # (B, Gp)
         eqp = valid
-        for q in range(4):
+        for q in range(kw):
             eqp = eqp & (w[q] == pk_all[q][:, None])
         b = jnp.einsum("bc,bcg->bg", eqp.astype(jnp.float32),
                        s.astype(jnp.float32))                  # (B, Gp)
         corr = jnp.dot(pa_all.T, b)                            # (Gp, Gp)
         acc = acc + corr + corr.T
-        return (acc, [lk[q][-1] for q in range(4)], a[-1]), None
+        return (acc, [lk[q][-1] for q in range(kw)], a[-1]), None
 
     acc0 = jnp.zeros((gp, gp), jnp.float32)
-    pk0 = [jnp.full((), 0xFFFFFFFF, jnp.uint32) for _ in range(4)]
+    pk0 = [jnp.full((), 0xFFFFFFFF, jnp.uint32) for _ in range(kw)]
     pa0 = jnp.zeros((gp,), jnp.float32)
     (acc, _, _), _ = lax.scan(body, (acc0, pk0, pa0), xs)
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "interpret"))
+def key_words_for_window(window: int) -> int:
+    """Number of uint32 key words that can be nonzero for masked canonical
+    keys of `window` nucleotides, PLUS a sentinel guard bit: valid keys
+    have bit positions < 2*window (spaced-seed masks only set bits there,
+    utils/masks.py), so the word holding bit 2*window is zero for every
+    valid key and all-ones for the sentinel.  Capped at 4; at window=64
+    the guard does not exist and the documented all-ones/poly-T sentinel
+    collision edge case of the 4-word layout applies unchanged."""
+    return min(4, 2 * window // 32 + 1)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "key_words",
+                                             "interpret"))
 def gram_all_pairs_ondevice(keys, counts, *, chunk: int | None = None,
-                            interpret: bool = False):
+                            key_words: int = 4, interpret: bool = False):
     """Exact (G, G) int32 all-pairs intersection matrix, computed without
     any host round-trip: keys (G, cap, 4) uint32 device sketches (sorted
     unique, sentinel padded — SketchBatch.keys layout), counts (G,).
@@ -229,10 +243,17 @@ def gram_all_pairs_ondevice(keys, counts, *, chunk: int | None = None,
     spans at most one chunk boundary) and a multiple of LANES; the default
     picks the smallest legal chunk — the E-matrix work is O(N * chunk), so
     smaller is strictly cheaper.  Pads genomes to gp = ceil128(G) for the
-    MXU."""
+    MXU.
+
+    key_words: how many low uint32 words the sort/scan must carry —
+    callers that know the window pass key_words_for_window(window) (words
+    above bit 2*window are zero for every valid key, and the guard bit
+    keeps the sentinel distinguishable), cutting merge-sort traffic and
+    comparator work by up to 40%."""
     from .pallas.sort import LANES, merge_sorted_runs
 
     g, cap, _ = keys.shape
+    kw = key_words
     if chunk is None:
         chunk = max(LANES, -(-g // LANES) * LANES)
     assert chunk >= g, "chunk must be >= G (one entry per key per sketch)"
@@ -249,21 +270,21 @@ def gram_all_pairs_ondevice(keys, counts, *, chunk: int | None = None,
 
     gid = jnp.broadcast_to(jnp.arange(g2, dtype=jnp.uint32)[:, None],
                            (g2, cap))
-    planes = [keys[:, :, q].reshape(n // LANES, LANES) for q in range(4)]
+    planes = [keys[:, :, q].reshape(n // LANES, LANES) for q in range(kw)]
     planes.append(gid.reshape(n // LANES, LANES))
 
     run_rows = cap // LANES
     if jax.default_backend() != "tpu" and not interpret:
         # XLA fallback: one lax.sort (non-TPU backends)
         flat = [p.reshape(n) for p in planes]
-        srt = lax.sort((flat[3], flat[2], flat[1], flat[0], flat[4]),
-                       num_keys=4)
-        sw = [srt[3], srt[2], srt[1], srt[0]]
-        sg = srt[4]
+        srt = lax.sort(tuple(flat[:kw][::-1]) + (flat[kw],), num_keys=kw)
+        sw = list(srt[:kw][::-1])
+        sg = srt[kw]
     else:
-        merged = merge_sorted_runs(planes, run_rows, interpret=interpret)
-        sw = [p.reshape(n) for p in merged[:4]]
-        sg = merged[4].reshape(n)
+        merged = merge_sorted_runs(planes, run_rows, interpret=interpret,
+                                   nkeys=kw)
+        sw = [p.reshape(n) for p in merged[:kw]]
+        sg = merged[kw].reshape(n)
 
     npad = -n % chunk
     if npad:

@@ -138,6 +138,42 @@ def _compact_global_kernel(w0, w1, w2, w3, o0, o1, o2, o3):
         o[0] = jnp.where(keep, pltpu.bitcast(planes[q], jnp.uint32), s_)
 
 
+COMPACT_GLOBAL_MAX_ROWS = 1024    # whole-array VMEM block beyond this OOMs
+                                  # scoped vmem (measured: 4096 rows wants
+                                  # 44.6M against the 16M limit)
+
+
+def _compact_global_xla(words):
+    """XLA fallback for capacities whose (R, 128) block exceeds scoped
+    VMEM: the same order-preserving LSB->MSB butterfly as
+    _compact_global_kernel, expressed as G-batched elementwise rolls over
+    the flat axis (rolls/selects only — no sort, no gather)."""
+    from jax import lax
+
+    g, n = words[0].shape
+    s_ = jnp.uint32(SENT)
+    valid = (words[0] != s_) | (words[1] != s_) | (words[2] != s_) \
+        | (words[3] != s_)
+    cum = jnp.cumsum(valid.astype(jnp.int32), axis=1)     # 1-based ranks
+    total = cum[:, -1:]
+    flat = lax.broadcasted_iota(jnp.int32, (g, n), 1)
+    d = jnp.where(valid, (flat - (cum - 1)) | (1 << 30), 0)
+    planes = list(words)
+    b = 0
+    while (1 << b) < n:
+        s = 1 << b
+        d_src = jnp.roll(d, -s, axis=1)
+        # wrapped sources have flat index < s hence d < s: bit b clear,
+        # never routed (same invariant as the kernel butterfly)
+        incoming = ((d_src >> 30) & 1 != 0) & ((d_src >> b) & 1 != 0)
+        leaving = ((d >> 30) & 1 != 0) & ((d >> b) & 1 != 0)
+        planes = [jnp.where(incoming, jnp.roll(p, -s, axis=1), p)
+                  for p in planes]
+        d = jnp.where(incoming, d_src - s, jnp.where(leaving, 0, d))
+        b += 1
+    return [jnp.where(flat < total, p, s_) for p in planes]
+
+
 def compact_global(words, *, interpret: bool = False):
     """words: 4-list of (G, n) uint32 sentinel-holed planes, n = R*128 a
     power of two -> same shapes with all valid entries moved to the front
@@ -145,6 +181,8 @@ def compact_global(words, *, interpret: bool = False):
     g, n = words[0].shape
     assert n % LANES == 0 and n & (n - 1) == 0
     r = n // LANES
+    if r > COMPACT_GLOBAL_MAX_ROWS:
+        return _compact_global_xla(words)
     outs = pl.pallas_call(
         _compact_global_kernel,
         grid=(g,),

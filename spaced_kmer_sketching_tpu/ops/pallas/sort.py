@@ -50,15 +50,16 @@ def _lex_lt(a, b):
     return lt
 
 
-def _lex_lt_tb(a, b):
-    """128-bit key compare with any extra planes as LEAST-significant
-    tiebreakers.  A compare-exchange on exactly-equal operands duplicates
-    one side's value at both positions — invisible for the key planes but
-    data loss for ride-along tags; folding the tags into the comparator
-    makes the order total (for unique (key, tag) tuples), so a tie implies
-    the full tuples are identical and duplication is a no-op."""
-    seq_a = list(a[KEY_WORDS:])[::-1] + list(a[:KEY_WORDS])
-    seq_b = list(b[KEY_WORDS:])[::-1] + list(b[:KEY_WORDS])
+def _lex_lt_tb(a, b, nkeys: int = KEY_WORDS):
+    """Multi-word key compare (planes [0:nkeys], ascending significance)
+    with any extra planes as LEAST-significant tiebreakers.  A
+    compare-exchange on exactly-equal operands duplicates one side's value
+    at both positions — invisible for the key planes but data loss for
+    ride-along tags; folding the tags into the comparator makes the order
+    total (for unique (key, tag) tuples), so a tie implies the full tuples
+    are identical and duplication is a no-op."""
+    seq_a = list(a[nkeys:])[::-1] + list(a[:nkeys])
+    seq_b = list(b[nkeys:])[::-1] + list(b[:nkeys])
     lt = seq_a[0] < seq_b[0]
     for qa, qb in zip(seq_a[1:], seq_b[1:]):
         lt = (qa < qb) | ((qa == qb) & lt)
@@ -252,11 +253,12 @@ def sort_truncate_128(keys, capacity: int, interpret: bool = False):
     return jnp.stack([o.reshape(capacity) for o in outs], axis=-1)
 
 
-def _merge_round_kernel(lr: int, final: bool, nplanes: int, *refs):
+def _merge_round_kernel(lr: int, final: bool, nplanes: int, nkeys: int,
+                        *refs):
     """Bitonic merge of adjacent (asc, desc) run pairs of lr rows each into
     a 2*lr-row run, direction by grid-id parity (ascending when final).
-    The first KEY_WORDS planes are the 128-bit sort key; any further planes
-    ride along (e.g. a genome-id tag for the device-side Gram layout)."""
+    The first `nkeys` planes are the sort key; any further planes ride
+    along (e.g. a genome-id tag for the device-side Gram layout)."""
     ins, outs = refs[:nplanes], refs[nplanes:]
     x = [w[:] for w in ins]
     shape = x[0].shape
@@ -267,7 +269,7 @@ def _merge_round_kernel(lr: int, final: bool, nplanes: int, *refs):
     d = lr * LANES
     while d >= 1:
         p = [_partner(w, d) for w in x]
-        x_lt_p = _lex_lt_tb(x, p)
+        x_lt_p = _lex_lt_tb(x, p, nkeys)
         lower = (flat & d) == 0
         want_x = (lower == asc) == x_lt_p
         x = [jnp.where(want_x, xi, pi) for xi, pi in zip(x, p)]
@@ -280,7 +282,7 @@ MERGE_PALLAS_MAX_ROWS = 1024      # 2*lr beyond this overflows scoped VMEM
 
 
 def _merge_finish_kernel(d0: int, blk_rows: int, run_rows: int, final: bool,
-                         nplanes: int, *refs):
+                         nplanes: int, nkeys: int, *refs):
     """All bitonic-merge passes at distances d0, d0/2, ..., 1 for one
     aligned blk_rows-row block — every such pass keeps i^d inside the
     block (d0 < blk_rows*LANES, both powers of two), so after the global
@@ -300,7 +302,7 @@ def _merge_finish_kernel(d0: int, blk_rows: int, run_rows: int, final: bool,
     d = d0
     while d >= 1:
         p = [_partner(w, d) for w in x]
-        x_lt_p = _lex_lt_tb(x, p)
+        x_lt_p = _lex_lt_tb(x, p, nkeys)
         lower = (flat & d) == 0
         want_x = (lower == asc) == x_lt_p
         x = [jnp.where(want_x, xi, pi) for xi, pi in zip(x, p)]
@@ -309,11 +311,12 @@ def _merge_finish_kernel(d0: int, blk_rows: int, run_rows: int, final: bool,
         o[:] = xi
 
 
-def _merge_finish(planes, lr: int, blk_rows: int, interpret):
+def _merge_finish(planes, lr: int, blk_rows: int, interpret,
+                  nkeys: int = KEY_WORDS):
     r = planes[0].shape[0]
     np_ = len(planes)
     kern = functools.partial(_merge_finish_kernel, blk_rows * LANES // 2,
-                             blk_rows, 2 * lr, 2 * lr == r, np_)
+                             blk_rows, 2 * lr, 2 * lr == r, np_, nkeys)
     return pl.pallas_call(
         kern,
         grid=(r // blk_rows,),
@@ -326,7 +329,7 @@ def _merge_finish(planes, lr: int, blk_rows: int, interpret):
     )(*planes)
 
 
-def _merge_round(planes, lr: int, interpret):
+def _merge_round(planes, lr: int, interpret, nkeys: int = KEY_WORDS):
     r = planes[0].shape[0]
     np_ = len(planes)
     if 2 * lr > MERGE_PALLAS_MAX_ROWS:
@@ -336,11 +339,12 @@ def _merge_round(planes, lr: int, interpret):
         blk = MERGE_PALLAS_MAX_ROWS
         d = lr * LANES
         while d >= blk * LANES:
-            planes = _merge_pass_xla(planes, d, 2 * lr * LANES)
+            planes = _merge_pass_xla(planes, d, 2 * lr * LANES, nkeys)
             d //= 2
-        return _merge_finish(planes, lr, blk, interpret)
+        return _merge_finish(planes, lr, blk, interpret, nkeys)
     blocks = r // (2 * lr)
-    kern = functools.partial(_merge_round_kernel, lr, blocks == 1, np_)
+    kern = functools.partial(_merge_round_kernel, lr, blocks == 1, np_,
+                             nkeys)
     return pl.pallas_call(
         kern,
         grid=(blocks,),
@@ -353,19 +357,19 @@ def _merge_round(planes, lr: int, interpret):
     )(*planes)
 
 
-def _merge_pass_xla(planes, d: int, run: int):
+def _merge_pass_xla(planes, d: int, run: int, nkeys: int = KEY_WORDS):
     """One bitonic compare-exchange pass at element distance d as plain XLA
     (reshape to (blocks, 2, d) + lexicographic min/max select — pure
     elementwise, no sort/top_k/gather).  `run` is the merged run length in
     elements; direction alternates per run (ascending when a single run
-    remains).  Planes past KEY_WORDS ride along."""
+    remains).  Planes past `nkeys` ride along."""
     r = planes[0].shape[0]
     m = r * LANES
     nb = m // (2 * d)
     x = [p.reshape(nb, 2, d) for p in planes]
     lo = [xq[:, 0, :] for xq in x]
     hi = [xq[:, 1, :] for xq in x]
-    lo_lt_hi = _lex_lt_tb(lo, hi)
+    lo_lt_hi = _lex_lt_tb(lo, hi, nkeys)
     if run >= m:
         asc = True
     else:
@@ -380,10 +384,11 @@ def _merge_pass_xla(planes, d: int, run: int):
     return out
 
 
-def merge_sorted_runs(planes, run_rows: int, interpret: bool = False):
+def merge_sorted_runs(planes, run_rows: int, interpret: bool = False,
+                      nkeys: int = KEY_WORDS):
     """Merge-sort (R, 128) planes whose consecutive `run_rows`-row runs are
     each already sorted ascending: reverse odd runs to form bitonic pairs,
-    then log2(R/run_rows) bitonic merge rounds.  The first KEY_WORDS planes
+    then log2(R/run_rows) bitonic merge rounds.  The first `nkeys` planes
     are the sort key; extra planes (tags) ride along.  Sentinel (all-ones)
     keys sort to the back as usual."""
     r = planes[0].shape[0]
@@ -400,6 +405,6 @@ def merge_sorted_runs(planes, run_rows: int, interpret: bool = False):
     planes = rev
     lr = run_rows
     while lr < r:
-        planes = _merge_round(planes, lr, interpret)
+        planes = _merge_round(planes, lr, interpret, nkeys)
         lr *= 2
     return planes

@@ -53,7 +53,7 @@ def sharded_all_pairs_rect_fn(mesh: Mesh):
 
 
 def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
-                      out=None, engine: str = "auto"):
+                      out=None, engine: str = "auto", key_words: int = 4):
     """Memory-bounded all-pairs schedule for genome counts whose stacked
     sketches exceed device memory: the (G, G) matrix is computed in
     (block x block) macro-tiles.  `keys` may be a numpy array or a callable
@@ -94,13 +94,14 @@ def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
             r0, r1 = bi * block, min(g, (bi + 1) * block)
             krow, crow = provider(r0, r1)
             out[r0:r1, r0:r1] = np.asarray(gram_all_pairs_ondevice(
-                jnp.asarray(krow), jnp.asarray(crow)))
+                jnp.asarray(krow), jnp.asarray(crow), key_words=key_words))
             for bj in range(bi + 1, nb):
                 c0, c1 = bj * block, min(g, (bj + 1) * block)
                 kcol, ccol = provider(c0, c1)
                 ks = jnp.asarray(np.concatenate([krow, kcol]))
                 cs = jnp.asarray(np.concatenate([crow, ccol]))
-                mat = np.asarray(gram_all_pairs_ondevice(ks, cs))
+                mat = np.asarray(gram_all_pairs_ondevice(
+                    ks, cs, key_words=key_words))
                 r = r1 - r0
                 out[r0:r1, c0:c1] = mat[:r, r:]
                 out[c0:c1, r0:r1] = mat[r:, :r]

@@ -149,6 +149,54 @@ def test_gram_ondevice_boundary_straddle():
     assert np.array_equal(np.diag(mat), counts)
 
 
+def test_gram_ondevice_key_words():
+    """Reduced-word sort/scan (key_words < 4) must agree with the full
+    4-word path and with python sets; key_words_for_window covers the
+    sweep geometry."""
+    import jax
+    from spaced_kmer_sketching_tpu.ops.gram import (gram_all_pairs_ondevice,
+                                                    key_words_for_window)
+
+    assert key_words_for_window(10) == 1
+    assert key_words_for_window(16) == 2
+    assert key_words_for_window(20) == 2
+    assert key_words_for_window(31) == 2
+    assert key_words_for_window(32) == 3
+    assert key_words_for_window(48) == 4
+    assert key_words_for_window(64) == 4
+
+    rng = np.random.default_rng(41)
+    g, cap = 8, 128
+    # values < 2^62: words 0,1 used, word1 < 2^30 so never all-ones
+    keys, counts, sets = make_sketches(rng, g, cap, shared=60, priv=30)
+    full = np.asarray(gram_all_pairs_ondevice(
+        jax.numpy.asarray(keys), jax.numpy.asarray(counts), chunk=128,
+        interpret=True))
+    red = np.asarray(gram_all_pairs_ondevice(
+        jax.numpy.asarray(keys), jax.numpy.asarray(counts), chunk=128,
+        key_words=2, interpret=True))
+    np.testing.assert_array_equal(red, full)
+    for i in range(g):
+        for j in range(g):
+            assert red[i, j] == len(sets[i] & sets[j]), (i, j)
+
+    # wide keys (word 2 nonzero, < 97): key_words=3 keeps the guard word
+    keys3, counts3, sets3 = make_sketches(rng, g, cap, shared=50, priv=25,
+                                          wide=True)
+    red3 = np.asarray(gram_all_pairs_ondevice(
+        jax.numpy.asarray(keys3), jax.numpy.asarray(counts3), chunk=128,
+        key_words=3, interpret=True))
+    for i in range(g):
+        for j in range(g):
+            assert red3[i, j] == len(sets3[i] & sets3[j]), (i, j)
+
+    # XLA-sort fallback path with reduced words
+    redx = np.asarray(gram_all_pairs_ondevice(
+        jax.numpy.asarray(keys), jax.numpy.asarray(counts), chunk=128,
+        key_words=2))
+    np.testing.assert_array_equal(redx, full)
+
+
 def test_rank_layout_bit_budget():
     rng = np.random.default_rng(2)
     keys, counts, sets = make_sketches(rng, 12, 512)

@@ -208,6 +208,11 @@ def test_compact_global_interpret():
         words[2, gi, pos] = 7
         words[3, gi, pos] = 9
     outs = compact_global([jnp.asarray(w) for w in words], interpret=True)
+    # the XLA fallback (capacities whose block exceeds scoped VMEM) must
+    # agree element-for-element with the Pallas butterfly
+    from spaced_kmer_sketching_tpu.ops.pallas.compact import (
+        _compact_global_xla)
+    outs_xla = _compact_global_xla([jnp.asarray(w) for w in words])
     for gi in range(g):
         valid = ~np.all([words[q, gi] == 0xFFFFFFFF for q in range(4)],
                         axis=0)
@@ -216,6 +221,7 @@ def test_compact_global_interpret():
             got = np.asarray(outs[q][gi])
             np.testing.assert_array_equal(got[:pos.size], words[q, gi, pos])
             assert (got[pos.size:] == 0xFFFFFFFF).all()
+            np.testing.assert_array_equal(np.asarray(outs_xla[q][gi]), got)
 
 
 @pytest.mark.parametrize("window,k", [(2, 2), (15, 9), (16, 16), (17, 10),
