@@ -365,6 +365,30 @@ void skt_sketch_batch_mt(const uint8_t* codes, int64_t n, int g,
     for (auto& th : ts) th.join();
 }
 
+// 2-bit pack: 16 codes per uint32, code i at bits 2i..2i+1 (LSB-first),
+// positions past n treated as code 0 — the exact layout
+// ops/pallas/extract.pack_genomes_np produces in numpy, hoisted to C++ so
+// the streaming ingest path packs at memory bandwidth instead of paying
+// numpy's (n/16, 16) u32 temporaries (measured seconds per 16M-nt segment).
+void skt_pack2bit(const uint8_t* codes, int64_t n, int64_t n_words,
+                  uint32_t* out) {
+    const int64_t full = std::min<int64_t>(n / 16, n_words);
+    for (int64_t wi = 0; wi < full; ++wi) {
+        const uint8_t* c = codes + wi * 16;
+        uint32_t w = 0;
+        for (int j = 0; j < 16; ++j)
+            w |= uint32_t(c[j] & 3u) << (2 * j);
+        out[wi] = w;
+    }
+    for (int64_t wi = full; wi < n_words; ++wi) {
+        uint32_t w = 0;
+        const int64_t base = wi * 16;
+        for (int64_t j = 0; j < 16 && base + j < n; ++j)
+            w |= uint32_t(codes[base + j] & 3u) << (2 * j);
+        out[wi] = w;
+    }
+}
+
 // Sorted-unique 128-bit set intersection (two-pointer merge), for the CPU
 // baseline ANI path.  Keys are (lo,hi) pairs sorted ascending.
 int64_t skt_intersect_sorted(const uint64_t* a, int64_t na,

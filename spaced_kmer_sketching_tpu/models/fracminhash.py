@@ -186,14 +186,25 @@ class FracMinHashSketcher:
         from ..ops.sketch import merge_sketches
         from ..utils import native
 
+        from collections import deque
+
+        from ..ops.sketch import jitted_merge_sketches
+
         cfg = self.config
         w = cfg.window
-        carry_codes = np.empty(0, np.uint32)
+        carry_codes = np.empty(0, np.uint8)
         carry_rid = np.empty(0, np.int32)
         cur_run = 0          # id of the run open at the current position
         prev_open = True     # position 0 starts run id 0
-        acc_keys: Optional[np.ndarray] = None
-        acc_count = 0
+        pending = deque()    # dispatched, not yet collected (pipeline)
+        seg_bufs = []        # DEVICE (cap_i, 4) sentinel-padded buffers
+        seg_counts = []
+
+        def drain_one():
+            keys_dev, count = self._collect_sketch_device(pending.popleft())
+            if count:
+                seg_bufs.append(keys_dev[0])
+                seg_counts.append(count)
 
         for codes, run_ends, open_run in native.fasta_stream(path,
                                                              segment_nt):
@@ -206,49 +217,131 @@ class FracMinHashSketcher:
             cur_run += len(run_ends)
             prev_open = open_run
 
-            seg_codes = np.concatenate([carry_codes,
-                                        codes.astype(np.uint32)])
+            seg_codes = np.concatenate([carry_codes, codes])  # stays uint8
             seg_rid = np.concatenate([carry_rid, rid])
             if w > 1:
                 carry_codes = seg_codes[-(w - 1):]
                 carry_rid = seg_rid[-(w - 1):]
 
-            keys, count = self._sketch_arrays(seg_codes, seg_rid)
-            if count == 0:
+            handle = self._sketch_arrays_handle(seg_codes, seg_rid)
+            if handle is None:
                 continue
-            if acc_keys is None:
-                acc_keys, acc_count = keys, count
-                continue
-            capm = max(256, _next_pow2(acc_count + count))
-            stack = np.full((2, capm, 4), 0xFFFFFFFF, np.uint32)
-            stack[0, :acc_count] = acc_keys
-            stack[1, :count] = keys
-            merged = merge_sketches(
-                jnp.asarray(stack),
-                jnp.asarray(np.array([acc_count, count], np.int32)), capm)
-            acc_count = int(merged.count)
-            acc_keys = np.asarray(merged.keys[:acc_count])
+            pending.append(handle)
+            if len(pending) >= 2:
+                # collect the older dispatch while the newer one (already
+                # enqueued, async) executes and the host parses onward —
+                # the PP-style ingest/compute overlap of SURVEY.md §2.1
+                drain_one()
+        while pending:
+            drain_one()
 
-        return Sketch(keys=acc_keys if acc_keys is not None
-                      else np.empty((0, 4), np.uint32),
+        if not seg_bufs:
+            return Sketch(keys=np.empty((0, 4), np.uint32), count=0,
+                          window=w, mask=self.mask, name=name)
+        if len(seg_bufs) == 1:
+            cnt = seg_counts[0]
+            return Sketch(keys=np.asarray(seg_bufs[0][:cnt]), count=cnt,
+                          window=w, mask=self.mask, name=name)
+
+        # one jitted on-device merge of all per-segment sketches: buffers
+        # are cut to a common power-of-two >= every count so the stacked
+        # sort does not waste rounds on sentinel fill
+        total = int(sum(seg_counts))
+        capm = max(256, _next_pow2(total))
+        cut = max(256, _next_pow2(max(seg_counts)))
+
+        def fit(x):
+            if x.shape[0] >= cut:
+                return x[:cut]            # valid rows <= count <= cut
+            pad = jnp.full((cut - x.shape[0], 4), 0xFFFFFFFF, jnp.uint32)
+            return jnp.concatenate([x, pad])
+
+        merged = jitted_merge_sketches(capm)(
+            jnp.stack([fit(b) for b in seg_bufs]),
+            jnp.asarray(np.array(seg_counts, np.int32)))
+        acc_count = int(merged.count)
+        return Sketch(keys=np.asarray(merged.keys[:acc_count]),
                       count=acc_count, window=w, mask=self.mask, name=name)
 
-    def _sketch_arrays(self, codes: np.ndarray, run_id: np.ndarray):
-        """Device sketch of prebuilt code/run-id arrays with the standard
-        capacity-overflow retry; returns (keys (count, 4), count)."""
+    _COMPACT_MAX_RUNS = 64
+
+    def _sketch_arrays_handle(self, codes: np.ndarray, run_id: np.ndarray):
+        """Dispatch prebuilt code/run-id arrays; returns a handle for
+        _collect_sketch[_device], or None when no window fits.
+
+        On TPU, arrays with few consecutive runs (the streaming-segment
+        shape) take the compact-upload path: native 2-bit pack + on-device
+        plane expansion (ops/sketch.sketch_batch_compact) instead of host
+        window-space packing — the full-plane path was measured at 5.6 s
+        host pack + 3.5 s upload per 16M-nt segment against 0.09 s of
+        device work."""
+        from ..utils import native
+
         cfg = self.config
         nw = codes.size - cfg.window + 1
         if nw <= 0:
-            return np.empty((0, 4), np.uint32), 0
+            return None
         n = _bucket_size(codes.size + cfg.window)
+        capacity = cfg.capacity_for(nw)
+        if jax.default_backend() == "tpu" and native.available():
+            starts = (np.nonzero(np.diff(run_id) != 0)[0] + 1
+                      if run_id.size else np.empty(0, np.int64))
+            consecutive = (starts.size <= self._COMPACT_MAX_RUNS
+                           and bool(np.all(
+                               run_id[starts] == int(run_id[0]) + 1
+                               + np.arange(starts.size))))
+            if consecutive:
+                return self._dispatch_sketch_compact(
+                    codes, starts, int(run_id[0]), n, capacity)
         cbuf = np.zeros((1, n), np.uint32)
         cbuf[0, :codes.size] = codes
         rbuf = np.full((1, n), _PAD_RUN, np.int32)
         rbuf[0, :run_id.size] = run_id
-        keys, counts, _ = self._device_sketch_batch(cbuf, rbuf,
-                                                    cfg.capacity_for(nw))
-        count = int(counts[0])
-        return keys[0, :count], count
+        return self._dispatch_sketch(cbuf, rbuf, capacity)
+
+    def _collect_sketch_device(self, handle):
+        """Force a dispatched single-genome batch but keep the keys ON
+        DEVICE (only raw_kept/count scalars cross the host boundary) — the
+        streaming accumulator merges on device, so downloading per-segment
+        key arrays just to re-upload them wastes tunnel round-trips.
+        Returns (keys (1, cap, 4) device, count int)."""
+        import math as _math
+
+        res, args, make, capacity = handle
+        raw = int(np.asarray(res.raw_kept).max())
+        while raw > capacity:
+            capacity = 1 << _math.ceil(_math.log2(raw + 1))
+            log.info("sketch overflow: retry cap=%d", capacity)
+            res = make(capacity)(*args, self._mask_words)
+            raw = int(np.asarray(res.raw_kept).max())
+        return res.keys, int(np.asarray(res.count)[0])
+
+    def _dispatch_sketch_compact(self, codes: np.ndarray,
+                                 starts: np.ndarray, rid0: int, n: int,
+                                 capacity: int):
+        """Compact-upload dispatch: one raw-packed code plane + run-start
+        positions; complement/reverse/window expansion happens on device
+        (ops/sketch.sketch_batch_compact)."""
+        from ..ops.pallas.extract import packed_body
+        from ..ops.sketch import jitted_sketch_batch_compact
+        from ..utils import native
+
+        cfg = self.config
+        body = packed_body(n)
+        p = native.pack2bit(codes.astype(np.uint8, copy=False),
+                            body // 16)[None]
+        b = np.full((1, self._COMPACT_MAX_RUNS), body, np.int32)
+        b[0, :starts.size] = starts
+        args = (jnp.asarray(p), jnp.asarray(b),
+                jnp.asarray(np.array([rid0], np.int32)),
+                jnp.asarray(np.array([codes.size], np.int32)))
+
+        def make(cap):
+            return jitted_sketch_batch_compact(
+                n, cfg.window, self.salt, cfg.scale, cfg.hash_variant, cap)
+
+        return (make(capacity)(*args, self._mask_words), args, make,
+                capacity)
 
     def sketch_files(self, paths: Sequence[str], max_workers: int = 8,
                      on_error: str = "raise") -> List[Sketch]:

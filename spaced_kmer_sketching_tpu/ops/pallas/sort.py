@@ -332,6 +332,14 @@ def _merge_finish(planes, lr: int, blk_rows: int, interpret,
 def _merge_round(planes, lr: int, interpret, nkeys: int = KEY_WORDS):
     r = planes[0].shape[0]
     np_ = len(planes)
+    if 2 * lr < 8:
+        # Pallas block sublane minimum is 8 rows; tiny rounds (deep
+        # finish-run trees at large capacities) run as XLA passes instead
+        d = lr * LANES
+        while d >= 1:
+            planes = _merge_pass_xla(planes, d, 2 * lr * LANES, nkeys)
+            d //= 2
+        return planes
     if 2 * lr > MERGE_PALLAS_MAX_ROWS:
         # hybrid: only the cross-block passes (row distance >= blk) run as
         # XLA HBM passes — log2(2*lr/blk) of them instead of the full

@@ -209,6 +209,64 @@ def jitted_sketch_batch_packed(n: int, window: int, salt: int, scale: int,
         variant=variant, capacity=capacity))
 
 
+def sketch_batch_compact(p, bounds, rid0, valid_len, mask_words, *, n: int,
+                         window: int, salt, scale: int, variant: str,
+                         capacity: int,
+                         interpret: bool = False) -> SketchBatch:
+    """Sketch step from COMPACT uploads, for streaming/ingest paths where
+    host packing and transfer dominate: p (G, body/16) uint32 raw 2-bit
+    packed codes (16 per word LSB-first, utils/native.pack2bit — positions
+    past the genome packed as code 0), bounds (G, K) int32 sorted interior
+    run-start positions (padded with body, which never triggers), rid0
+    (G,) int32 id of the run open at position 0, valid_len (G,) int32 real
+    code count.
+
+    The window-index planes the prepacked kernel consumes are expanded ON
+    DEVICE: complement packing is ~p (3-c == c^3 per 2-bit lane), reverse
+    packing is the 2-bit-unit word reversal, both repeated 16x into window
+    space, and the run-id plane is rid0 + #bounds <= pos (-1 past
+    valid_len) — bit-identical to ops/pallas/extract.pack_genomes_np
+    output for consecutive run ids.  Measured on the 16M-nt streaming
+    segment: the full-plane path paid 5.6 s numpy pack + 3.5 s of 400 MB
+    upload against 0.09 s of device work; the compact upload is ~8 MB."""
+    from .bitops import _rev32_2bit
+    from .pallas.extract import (_LEAD, LANES, packed_body,
+                                 extract_compact_windows_prepacked)
+
+    g, pw = p.shape
+    body = pw * 16
+    assert body == packed_body(n), (body, packed_body(n))
+    nw = n - window + 1
+    k_slots = _k_slots_for(nw, scale, capacity)
+
+    lead32 = jnp.zeros((g, _LEAD), jnp.uint32)
+    qc = jnp.concatenate([lead32, jnp.repeat(~p, 16, axis=1)], axis=1)
+    qr = jnp.concatenate([lead32, jnp.repeat(_rev32_2bit(p), 16, axis=1)],
+                         axis=1)
+    pos = lax.broadcasted_iota(jnp.int32, (g, body), 1)
+    r = jnp.broadcast_to(rid0[:, None].astype(jnp.int32), (g, body))
+    for kk in range(bounds.shape[1]):
+        r = r + (pos >= bounds[:, kk][:, None]).astype(jnp.int32)
+    r = jnp.where(pos < valid_len[:, None], r, jnp.int32(-1))
+    rid = jnp.concatenate([jnp.full((g, _LEAD), -1, jnp.int32), r], axis=1)
+
+    words, rowcnt, _ = extract_compact_windows_prepacked(
+        qc.reshape(g, -1, LANES), qr.reshape(g, -1, LANES),
+        rid.reshape(g, -1, LANES), mask_words, nw=nw, window=window,
+        salt=salt, scale=scale, variant=variant, k_slots=k_slots,
+        interpret=interpret)
+    return _finish_dispatch(words, rowcnt, nw, k_slots, capacity, scale,
+                            interpret)
+
+
+@functools.lru_cache(maxsize=128)
+def jitted_sketch_batch_compact(n: int, window: int, salt: int, scale: int,
+                                variant: str, capacity: int):
+    return jax.jit(functools.partial(
+        sketch_batch_compact, n=n, window=window, salt=salt, scale=scale,
+        variant=variant, capacity=capacity))
+
+
 def _finish_dispatch(words, rowcnt, nw: int, k_slots: int, capacity: int,
                      scale: int, interpret: bool) -> SketchBatch:
     from .pallas.extract import BLOCK
@@ -570,6 +628,14 @@ def sketch_from_codes(codes, run_id, mask_words, *, window: int, salt: int,
     """Jitted single-genome sketch step (static salt)."""
     return sketch_core(codes, run_id, mask_words, window=window, salt=salt,
                        scale=scale, variant=variant, capacity=capacity)
+
+
+@functools.lru_cache(maxsize=64)
+def jitted_merge_sketches(capacity: int):
+    """Cached jitted merge_sketches — eager composition dispatches every
+    sort round as its own device program (~17 ms each through the TPU
+    tunnel), so host-driven callers (streaming accumulation) jit it."""
+    return jax.jit(functools.partial(merge_sketches, capacity=capacity))
 
 
 def merge_sketches(keys, counts, capacity: int) -> SketchBatch:

@@ -103,6 +103,9 @@ def _declare(lib):
         c.c_uint64, c.c_uint64, c.c_int,
         c.c_uint64, c.c_uint64, c.c_int,
         c.c_int, c.POINTER(c.c_int64)]
+    lib.skt_pack2bit.restype = None
+    lib.skt_pack2bit.argtypes = [
+        c.POINTER(c.c_uint8), c.c_int64, c.c_int64, c.POINTER(c.c_uint32)]
 
 
 def available() -> bool:
@@ -228,6 +231,21 @@ def sketch_batch_mt(codes: np.ndarray, mask_lo: int, mask_hi: int,
         int(window), np.uint64(salt), np.uint64(scale), int(legacy),
         int(nthreads), counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     return counts
+
+
+def pack2bit(codes: np.ndarray, n_words: int) -> np.ndarray:
+    """Pack codes (n,) uint8 values 0..3 into n_words uint32, 16 codes per
+    word LSB-first, positions past n as code 0 — the compact upload plane
+    for the device-side expansion path (ops/sketch.sketch_batch_compact)."""
+    lib = get_lib()
+    assert lib is not None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    out = np.empty(n_words, dtype=np.uint32)
+    lib.skt_pack2bit(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int64(codes.shape[0]), np.int64(n_words),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out
 
 
 def intersect_sorted(a: np.ndarray, b: np.ndarray) -> int:

@@ -282,3 +282,55 @@ def test_sketch_batch_packed_interpret():
                                   np.asarray(want.count))
     np.testing.assert_array_equal(np.asarray(got.keys),
                                   np.asarray(want.keys))
+
+
+def test_sketch_batch_compact_interpret():
+    """Compact uploads (raw 2-bit pack + run bounds, expansion on device)
+    bit-match the host-prepacked path — the streaming-segment hot entry."""
+    from spaced_kmer_sketching_tpu.ops.pallas.extract import (pack_genomes_np,
+                                                              packed_body)
+    from spaced_kmer_sketching_tpu.ops.sketch import (sketch_batch_compact,
+                                                      sketch_batch_packed)
+    from spaced_kmer_sketching_tpu.utils import native
+
+    window, k, scale, cap = 20, 16, 200, 1024
+    mask = spaced_seed_mask(window, k, 0)
+    salt = boosthash.fmh_salt(mask.lo, mask.hi, window, 1, "modern")
+    rng = np.random.default_rng(9)
+    n = 70000
+    codes = rng.integers(0, 4, (1, n)).astype(np.uint8)
+    # three runs with non-zero first id (streaming segments carry cur_run)
+    rid0, starts = 5, np.array([2000, 39999], np.int64)
+    rid = np.full((1, n), rid0, np.int32)
+    for s in starts:
+        rid[0, s:] += 1
+    mw = jnp.asarray(mask.words_u32)
+    qc, qr, rid2 = pack_genomes_np(codes, rid)
+    want = sketch_batch_packed(jnp.asarray(qc), jnp.asarray(qr),
+                               jnp.asarray(rid2), mw, n=n, window=window,
+                               salt=salt, scale=scale, variant="modern",
+                               capacity=cap, interpret=True)
+
+    body = packed_body(n)
+    if native.available():
+        p = native.pack2bit(codes[0], body // 16)[None]
+    else:
+        c = np.zeros((body,), np.uint8)
+        c[:n] = codes[0]
+        w = np.uint32(1) << (2 * np.arange(16, dtype=np.uint32))
+        p = (c.reshape(-1, 16).astype(np.uint32) * w).sum(
+            -1, dtype=np.uint32)[None]
+    b = np.full((1, 64), body, np.int32)
+    b[0, :starts.size] = starts
+    got = sketch_batch_compact(
+        jnp.asarray(p), jnp.asarray(b),
+        jnp.asarray(np.array([rid0], np.int32)),
+        jnp.asarray(np.array([n], np.int32)), mw, n=n, window=window,
+        salt=salt, scale=scale, variant="modern", capacity=cap,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.count),
+                                  np.asarray(want.count))
+    np.testing.assert_array_equal(np.asarray(got.keys),
+                                  np.asarray(want.keys))
+    np.testing.assert_array_equal(np.asarray(got.raw_kept),
+                                  np.asarray(want.raw_kept))

@@ -82,6 +82,26 @@ def test_hybrid_merge_round(monkeypatch):
             == sorted(zip(got_v.tolist(), got_t.tolist())))
 
 
+def test_tiny_merge_rounds_xla():
+    """Rounds with 2*lr < 8 rows violate the Pallas sublane minimum and
+    must take the XLA pass path (hit by deep finish-run trees at 64M-nt
+    streaming segments)."""
+    from spaced_kmer_sketching_tpu.ops.pallas.sort import merge_sorted_runs
+
+    rng = np.random.default_rng(79)
+    run_rows, nruns = 1, 8                    # rounds at lr = 1, 2, 4
+    r = run_rows * nruns
+    n = r * 128
+    vals = rng.integers(0, 1 << 32, size=(nruns, run_rows * 128),
+                        dtype=np.uint64).astype(np.uint32)
+    vals.sort(axis=1)
+    planes = [jnp.asarray(vals.reshape(r, 128))] + [
+        jnp.zeros((r, 128), jnp.uint32)] * 3
+    out = merge_sorted_runs(planes, run_rows, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out[0]).reshape(n),
+                                  np.sort(vals.reshape(n)))
+
+
 def test_hybrid_merge_round_real_threshold():
     """One real-size hybrid round: merge two sorted 1024-row runs (the
     smallest size that crosses MERGE_PALLAS_MAX_ROWS) and check the result
