@@ -27,7 +27,7 @@ from ..config import SketchConfig
 from ..ingest.fasta import PackedSeqs, read_fasta
 from ..ops.intersect import intersection_tile
 from ..ops.sketch import sketch_from_codes
-from ..utils import boosthash
+from ..utils import boosthash, native
 from ..utils.masks import SpacedSeedMask, spaced_seed_mask
 from ..observability import count as obs_count, get_logger, span
 
@@ -264,6 +264,7 @@ class FracMinHashSketcher:
                       count=acc_count, window=w, mask=self.mask, name=name)
 
     _COMPACT_MAX_RUNS = 64
+    _STREAM_THRESHOLD_BYTES = 1 << 28    # files past ~256M nt stream
 
     def _sketch_arrays_handle(self, codes: np.ndarray, run_id: np.ndarray):
         """Dispatch prebuilt code/run-id arrays; returns a handle for
@@ -352,9 +353,25 @@ class FracMinHashSketcher:
 
         on_error: 'raise' mirrors the reference (a bad file kills the run,
         fasta_processing.cpp:86-90); 'skip' isolates per-genome ingest
-        failures to an empty sketch + error log (SURVEY.md §5)."""
+        failures to an empty sketch + error log (SURVEY.md §5).
+
+        Files past _STREAM_THRESHOLD_BYTES (eukaryote-scale, BASELINE
+        config 5) route through sketch_file_streaming automatically:
+        bounded host memory and the compact-upload device path instead of
+        a whole-genome resident parse."""
+        import os as _os
+
         if on_error not in ("raise", "skip"):
             raise ValueError(f"unknown on_error {on_error!r}")
+
+        big = set()
+        if native.available():
+            for p in paths:
+                try:
+                    if _os.path.getsize(p) >= self._STREAM_THRESHOLD_BYTES:
+                        big.add(p)
+                except OSError:
+                    pass     # missing files keep read_fasta's error parity
 
         def _read(p):
             try:
@@ -366,13 +383,30 @@ class FracMinHashSketcher:
                 return PackedSeqs(codes=np.empty(0, np.uint8),
                                   run_lens=np.empty(0, np.int64))
 
+        def _empty(name):
+            return Sketch(keys=np.empty((0, 4), np.uint32), count=0,
+                          window=self.config.window, mask=self.mask,
+                          name=name)
+
         with span("sketching", log):
+            streamed = {}
+            for p in sorted(big):
+                try:
+                    streamed[p] = self.sketch_file_streaming(p, name=p)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    log.exception("skipping unreadable genome %s", p)
+                    streamed[p] = _empty(p)
+            small = [p for p in paths if p not in big]
             packed = {}
             with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
-                for p, pk in zip(paths, ex.map(_read, paths)):
+                for p, pk in zip(small, ex.map(_read, small)):
                     packed[p] = pk
-            return self.sketch_packed_batch([packed[p] for p in paths],
-                                            names=list(paths))
+            sketched = iter(self.sketch_packed_batch(
+                [packed[p] for p in small], names=small))
+            return [streamed[p] if p in big else next(sketched)
+                    for p in paths]
 
     def sketch_packed_batch(self, packed_list: Sequence[PackedSeqs],
                             names: Optional[Sequence[str]] = None

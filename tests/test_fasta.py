@@ -171,3 +171,31 @@ def test_streaming_sketch_bitexact(tmp_path):
         got = sk.sketch_file_streaming(str(p), segment_nt=segment)
         assert got.count == want.count, segment
         np.testing.assert_array_equal(got.keys, want.keys)
+
+
+def test_sketch_files_auto_streams_big_files(tmp_path, monkeypatch):
+    """Files past _STREAM_THRESHOLD_BYTES route through the streaming
+    pipeline inside sketch_files, with output order and content identical
+    to the whole-file path (BASELINE config 5 driver integration)."""
+    from spaced_kmer_sketching_tpu.config import SketchConfig
+    from spaced_kmer_sketching_tpu.models.fracminhash import (
+        FracMinHashSketcher)
+    from spaced_kmer_sketching_tpu.utils import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(29)
+    paths = []
+    for i, n in enumerate((30000, 5000)):
+        seq = "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+        p = tmp_path / f"g{i}.fa"
+        p.write_text(f">g{i}\n{seq}\n")
+        paths.append(str(p))
+    sk = FracMinHashSketcher(SketchConfig(window=20, k=16, scale=20))
+    want = sk.sketch_files(paths)
+    monkeypatch.setattr(FracMinHashSketcher, "_STREAM_THRESHOLD_BYTES",
+                        10000)              # only g0 streams
+    got = sk.sketch_files(paths)
+    for w, g in zip(want, got):
+        assert g.count == w.count and g.name == w.name
+        np.testing.assert_array_equal(g.keys, w.keys)
