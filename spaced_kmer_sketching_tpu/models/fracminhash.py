@@ -184,7 +184,6 @@ class FracMinHashSketcher:
         O(genome) (SURVEY.md §2.2 item 1; the reference loads whole files,
         fasta_processing.cpp:208-211)."""
         from ..ops.sketch import merge_sketches
-        from ..utils import native
 
         from collections import deque
 
@@ -276,7 +275,6 @@ class FracMinHashSketcher:
         window-space packing — the full-plane path was measured at 5.6 s
         host pack + 3.5 s upload per 16M-nt segment against 0.09 s of
         device work."""
-        from ..utils import native
 
         cfg = self.config
         nw = codes.size - cfg.window + 1
@@ -325,7 +323,6 @@ class FracMinHashSketcher:
         (ops/sketch.sketch_batch_compact)."""
         from ..ops.pallas.extract import packed_body
         from ..ops.sketch import jitted_sketch_batch_compact
-        from ..utils import native
 
         cfg = self.config
         body = packed_body(n)

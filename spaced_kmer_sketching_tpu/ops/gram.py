@@ -233,6 +233,23 @@ def key_words_for_window(window: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("chunk", "key_words",
                                              "interpret"))
+def gram_rect_ondevice(keys_r, counts_r, keys_c, counts_c, *,
+                       chunk: int | None = None, key_words: int = 4,
+                       interpret: bool = False):
+    """One-dispatch macro-tile for the blocked all-pairs schedule: stacks
+    the row and column blocks ON DEVICE and returns the full
+    (R+C, R+C) on-device Gram — callers slice [:R, R:] for the rect tile
+    and its transpose for the mirror (host-side concatenation re-uploaded
+    both blocks per tile and the eager concat added dispatch round-trips;
+    the tunnel charges ~17 ms per dispatch)."""
+    keys = jnp.concatenate([keys_r, keys_c])
+    counts = jnp.concatenate([counts_r, counts_c])
+    return gram_all_pairs_ondevice(keys, counts, chunk=chunk,
+                                   key_words=key_words, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "key_words",
+                                             "interpret"))
 def gram_all_pairs_ondevice(keys, counts, *, chunk: int | None = None,
                             key_words: int = 4, interpret: bool = False):
     """Exact (G, G) int32 all-pairs intersection matrix, computed without

@@ -89,22 +89,67 @@ def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
     out = out if out is not None else np.zeros((g, g), np.int32)
     nb = (g + block - 1) // block
     if engine == "gram":
-        from ..ops.gram import gram_all_pairs_ondevice
-        for bi in range(nb):
-            r0, r1 = bi * block, min(g, (bi + 1) * block)
-            krow, crow = provider(r0, r1)
-            out[r0:r1, r0:r1] = np.asarray(gram_all_pairs_ondevice(
-                jnp.asarray(krow), jnp.asarray(crow), key_words=key_words))
-            for bj in range(bi + 1, nb):
-                c0, c1 = bj * block, min(g, (bj + 1) * block)
-                kcol, ccol = provider(c0, c1)
-                ks = jnp.asarray(np.concatenate([krow, kcol]))
-                cs = jnp.asarray(np.concatenate([crow, ccol]))
-                mat = np.asarray(gram_all_pairs_ondevice(
-                    ks, cs, key_words=key_words))
+        # pair-level data parallelism, the reference's cilk_for over pairs
+        # (src/kmer_set.cpp:179): macro-tiles are independent, so they
+        # round-robin over the mesh devices and execute concurrently
+        # (dispatch is async; results are collected after the full sweep)
+        from collections import deque
+
+        from ..ops.gram import gram_all_pairs_ondevice, gram_rect_ondevice
+        devs = list(mesh.devices.flat) if mesh is not None else [None]
+        max_inflight = 8 * len(devs)
+
+        def put(x, dev):
+            x = jnp.asarray(x)
+            return jax.device_put(x, dev) if dev is not None else x
+
+        pending = deque()
+
+        def collect_one():
+            r0, r1, c0, c1, dmat = pending.popleft()
+            mat = np.asarray(dmat)
+            if c0 == r0:
+                out[r0:r1, c0:c1] = mat
+            else:
                 r = r1 - r0
                 out[r0:r1, c0:c1] = mat[:r, r:]
                 out[c0:c1, r0:r1] = mat[r:, :r]
+
+        # every tile of row bi runs on one device: its row block uploads
+        # once per row, column blocks are cached device-side up to a byte
+        # budget (single device covers the whole sweep; multi-device runs
+        # re-upload a column block at most once per row), and the stacked
+        # operand is concatenated ON device — re-uploading both blocks per
+        # tile made the sweep transfer-bound through the TPU tunnel
+        cache_budget = 2 << 30
+        col_cache, cached_bytes = {}, 0
+        single = len(devs) == 1
+        for bi in range(nb):
+            dev = devs[bi % len(devs)]
+            r0, r1 = bi * block, min(g, (bi + 1) * block)
+            krow, crow = provider(r0, r1)
+            kr, cr = put(krow, dev), put(crow, dev)
+            pending.append((r0, r1, r0, r1, gram_all_pairs_ondevice(
+                kr, cr, key_words=key_words)))
+            if len(pending) >= max_inflight:
+                collect_one()
+            for bj in range(bi + 1, nb):
+                c0, c1 = bj * block, min(g, (bj + 1) * block)
+                hit = single and bj in col_cache
+                if hit:
+                    kc, cc = col_cache[bj]
+                else:
+                    kcol, ccol = provider(c0, c1)
+                    kc, cc = put(kcol, dev), put(ccol, dev)
+                    if single and cached_bytes + kc.nbytes <= cache_budget:
+                        col_cache[bj] = (kc, cc)
+                        cached_bytes += kc.nbytes + cc.nbytes
+                pending.append((r0, r1, c0, c1, gram_rect_ondevice(
+                    kr, cr, kc, cc, key_words=key_words)))
+                if len(pending) >= max_inflight:
+                    collect_one()
+        while pending:
+            collect_one()
         return out
 
     fn = sharded_all_pairs_rect_fn(mesh)
