@@ -282,9 +282,16 @@ def bench_allpairs(args) -> int:
         mesh = make_mesh(devices=jax.devices()[:1])
         blk = args.block_size
         kw = key_words_for_window(args.window)
-        # warm the two gram shapes (diag + stacked) on a prefix
+        # warm the gram shapes on prefixes: diag(blk) + rect(2*blk), and
+        # when G is not a block multiple also the ragged last-block shapes
+        # (otherwise they compile inside the timed sweep)
         blocked_all_pairs(mesh, keys_np[:2 * blk], counts_np[:2 * blk],
                           block=blk, key_words=kw)
+        rem = g % blk
+        if rem:
+            blocked_all_pairs(mesh, keys_np[:blk + rem],
+                              counts_np[:blk + rem], block=blk,
+                              key_words=kw)
         t0 = time.perf_counter()
         mat = blocked_all_pairs(mesh, keys_np, counts_np, block=blk,
                                 key_words=kw)

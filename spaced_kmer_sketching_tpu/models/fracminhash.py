@@ -183,8 +183,6 @@ class FracMinHashSketcher:
         with sketch_file: peak host memory is O(segment_nt + sketch), never
         O(genome) (SURVEY.md §2.2 item 1; the reference loads whole files,
         fasta_processing.cpp:208-211)."""
-        from ..ops.sketch import merge_sketches
-
         from collections import deque
 
         from ..ops.sketch import jitted_merge_sketches
@@ -244,10 +242,14 @@ class FracMinHashSketcher:
 
         # one jitted on-device merge of all per-segment sketches: buffers
         # are cut to a common power-of-two >= every count so the stacked
-        # sort does not waste rounds on sentinel fill
+        # sort does not waste rounds on sentinel fill, and the SEGMENT
+        # axis pads to a power of two with empty sketches — otherwise
+        # S*cut rows is not a power of two and merge_sketches' sort falls
+        # back to lax.sort, pathologically slow on this TPU
         total = int(sum(seg_counts))
         capm = max(256, _next_pow2(total))
         cut = max(256, _next_pow2(max(seg_counts)))
+        s2 = _next_pow2(len(seg_bufs))
 
         def fit(x):
             if x.shape[0] >= cut:
@@ -255,9 +257,13 @@ class FracMinHashSketcher:
             pad = jnp.full((cut - x.shape[0], 4), 0xFFFFFFFF, jnp.uint32)
             return jnp.concatenate([x, pad])
 
+        stack = [fit(b) for b in seg_bufs]
+        stack += [jnp.full((cut, 4), 0xFFFFFFFF, jnp.uint32)] * (
+            s2 - len(seg_bufs))
+        counts_all = np.zeros(s2, np.int32)
+        counts_all[:len(seg_counts)] = seg_counts
         merged = jitted_merge_sketches(capm)(
-            jnp.stack([fit(b) for b in seg_bufs]),
-            jnp.asarray(np.array(seg_counts, np.int32)))
+            jnp.stack(stack), jnp.asarray(counts_all))
         acc_count = int(merged.count)
         return Sketch(keys=np.asarray(merged.keys[:acc_count]),
                       count=acc_count, window=w, mask=self.mask, name=name)
@@ -304,12 +310,10 @@ class FracMinHashSketcher:
         streaming accumulator merges on device, so downloading per-segment
         key arrays just to re-upload them wastes tunnel round-trips.
         Returns (keys (1, cap, 4) device, count int)."""
-        import math as _math
-
         res, args, make, capacity = handle
         raw = int(np.asarray(res.raw_kept).max())
         while raw > capacity:
-            capacity = 1 << _math.ceil(_math.log2(raw + 1))
+            capacity = 1 << math.ceil(math.log2(raw + 1))
             log.info("sketch overflow: retry cap=%d", capacity)
             res = make(capacity)(*args, self._mask_words)
             raw = int(np.asarray(res.raw_kept).max())

@@ -78,11 +78,11 @@ def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
         provider = keys
         g = counts
     else:
-        kk, cc = keys, counts
-        g = kk.shape[0]
+        all_keys_np, all_counts_np = keys, counts
+        g = all_keys_np.shape[0]
 
         def provider(i0, i1):
-            return kk[i0:i1], cc[i0:i1]
+            return all_keys_np[i0:i1], all_counts_np[i0:i1]
 
     if engine == "auto":
         engine = "gram" if jax.default_backend() == "tpu" else "probe"
@@ -141,9 +141,10 @@ def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
                 else:
                     kcol, ccol = provider(c0, c1)
                     kc, cc = put(kcol, dev), put(ccol, dev)
-                    if single and cached_bytes + kc.nbytes <= cache_budget:
+                    add = kc.nbytes + cc.nbytes
+                    if single and cached_bytes + add <= cache_budget:
                         col_cache[bj] = (kc, cc)
-                        cached_bytes += kc.nbytes + cc.nbytes
+                        cached_bytes += add
                 pending.append((r0, r1, c0, c1, gram_rect_ondevice(
                     kr, cr, kc, cc, key_words=key_words)))
                 if len(pending) >= max_inflight:

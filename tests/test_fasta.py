@@ -167,7 +167,9 @@ def test_streaming_sketch_bitexact(tmp_path):
     p.write_text(f">a\n{seq[:20000]}\n>b\n{seq[20000:]}\n")
     sk = FracMinHashSketcher(SketchConfig(window=20, k=16, scale=20))
     want = sk.sketch_file(str(p))
-    for segment in (1 << 12, 1 << 14):
+    # 12000 yields 3 segments: a non-power-of-two count exercises the
+    # padded final merge stack
+    for segment in (1 << 12, 12000, 1 << 14):
         got = sk.sketch_file_streaming(str(p), segment_nt=segment)
         assert got.count == want.count, segment
         np.testing.assert_array_equal(got.keys, want.keys)

@@ -276,6 +276,11 @@ def test_blocked_all_pairs_matches_tile():
     got3 = blocked_all_pairs(mesh, provider, g, block=8, engine="gram")
     np.testing.assert_array_equal(got3, want)
 
+    # array (non-callable) input exercises the internal provider closure
+    # across >2 blocks — a local rebinding once shadowed its counts
+    got4 = blocked_all_pairs(mesh, keys, counts, block=4, engine="gram")
+    np.testing.assert_array_equal(got4, want)
+
 
 def test_sharded_gram_matches_sets(mesh, genomes):
     """MXU Gram all-pairs with union tiles sharded over the mesh equals
