@@ -196,6 +196,29 @@ def test_gram_ondevice_key_words():
         key_words=2))
     np.testing.assert_array_equal(redx, full)
 
+    # key_words=1 — the sweep's (w=10, k=10) config: keys fit 20 bits
+    keys1 = keys.copy()
+    m = np.arange(keys1.shape[1])[None, :] < counts[:, None]
+    keys1[:, :, 0] = np.where(m, keys1[:, :, 0] & 0xFFFFF, keys1[:, :, 0])
+    keys1[:, :, 1] = np.where(m, 0, keys1[:, :, 1])
+    sets1 = []
+    counts = counts.copy()
+    for i in range(g):
+        c = counts[i]
+        # re-sort and dedup rows to keep the sorted-unique invariant
+        u = np.unique(keys1[i, :c, 0])
+        keys1[i, :u.size, 0] = u
+        keys1[i, :u.size, 1:] = 0
+        keys1[i, u.size:] = 0xFFFFFFFF
+        counts[i] = u.size
+        sets1.append(set(u.tolist()))
+    red1 = np.asarray(gram_all_pairs_ondevice(
+        jax.numpy.asarray(keys1), jax.numpy.asarray(counts), chunk=128,
+        key_words=1, interpret=True))
+    for i in range(g):
+        for j in range(g):
+            assert red1[i, j] == len(sets1[i] & sets1[j]), (i, j)
+
 
 def test_rank_layout_bit_budget():
     rng = np.random.default_rng(2)
