@@ -284,6 +284,49 @@ def test_sketch_batch_packed_interpret():
                                   np.asarray(want.keys))
 
 
+@pytest.mark.parametrize("window,k", [(10, 10), (17, 10), (32, 20),
+                                      (33, 21), (48, 30), (64, 40)])
+def test_sketch_batch_compact_window_sweep(window, k):
+    """Compact-upload expansion across word-boundary windows (the packed
+    slide math depends on window mod 16 and the word count)."""
+    from spaced_kmer_sketching_tpu.ops.pallas.extract import (pack_genomes_np,
+                                                              packed_body)
+    from spaced_kmer_sketching_tpu.ops.sketch import (sketch_batch_compact,
+                                                      sketch_batch_packed)
+
+    mask = spaced_seed_mask(window, k, 0)
+    salt = boosthash.fmh_salt(mask.lo, mask.hi, window, 1, "modern")
+    rng = np.random.default_rng(window * 101 + k)
+    n, scale, cap = 30000, 20, 4096
+    codes = rng.integers(0, 4, (1, n)).astype(np.uint8)
+    rid = np.zeros((1, n), np.int32)
+    rid[0, n // 3:] = 1
+    mw = jnp.asarray(mask.words_u32)
+    qc, qr, rid2 = pack_genomes_np(codes, rid)
+    want = sketch_batch_packed(jnp.asarray(qc), jnp.asarray(qr),
+                               jnp.asarray(rid2), mw, n=n, window=window,
+                               salt=salt, scale=scale, variant="modern",
+                               capacity=cap, interpret=True)
+    body = packed_body(n)
+    c = np.zeros((body,), np.uint8)
+    c[:n] = codes[0]
+    w = np.uint32(1) << (2 * np.arange(16, dtype=np.uint32))
+    p = (c.reshape(-1, 16).astype(np.uint32) * w).sum(-1,
+                                                      dtype=np.uint32)[None]
+    b = np.full((1, 64), body, np.int32)
+    b[0, 0] = n // 3
+    got = sketch_batch_compact(
+        jnp.asarray(p), jnp.asarray(b),
+        jnp.asarray(np.array([0], np.int32)),
+        jnp.asarray(np.array([n], np.int32)), mw, n=n, window=window,
+        salt=salt, scale=scale, variant="modern", capacity=cap,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.count),
+                                  np.asarray(want.count))
+    np.testing.assert_array_equal(np.asarray(got.keys),
+                                  np.asarray(want.keys))
+
+
 def test_sketch_batch_compact_interpret():
     """Compact uploads (raw 2-bit pack + run bounds, expansion on device)
     bit-match the host-prepacked path — the streaming-segment hot entry."""
