@@ -64,14 +64,17 @@ def _butterfly_compact_lanes(ws, valid):
     return out, rowcnt
 
 
-def _compact_rows_kernel(w0, w1, w2, w3, o0, o1, o2, o3, *, k_out: int):
-    ws = [w[0] for w in (w0, w1, w2, w3)]          # (Rt, 128) uint32
+def _compact_rows_kernel(*refs, nplanes: int, k_out: int):
+    ins, outs = refs[:nplanes], refs[nplanes:]
+    ws = [w[0] for w in ins]                       # (Rt, 128) uint32
     s = jnp.uint32(SENT)
-    valid = (ws[0] != s) | (ws[1] != s) | (ws[2] != s) | (ws[3] != s)
+    valid = ws[0] != s
+    for w in ws[1:]:
+        valid = valid | (w != s)
     packed, rowcnt = _butterfly_compact_lanes(ws, valid)
     rows = ws[0].shape[0]
     svalid = jax.lax.broadcasted_iota(jnp.int32, (rows, k_out), 1) < rowcnt
-    for q, o in enumerate((o0, o1, o2, o3)):
+    for q, o in enumerate(outs):
         o[0] = jnp.where(svalid, packed[q][:, :k_out], jnp.uint32(SENT))
 
 
@@ -91,7 +94,7 @@ def _row_prefix_excl(row_tot):
     return incl - row_tot
 
 
-def _compact_global_kernel(w0, w1, w2, w3, o0, o1, o2, o3):
+def _compact_global_kernel(*refs, nplanes: int):
     """Order-preserving compaction of the WHOLE (R, 128) tile (row-major
     flat order): valid lanes move to the global front.  Butterfly routing
     over the flat move distance, LSB->MSB; sub-row shifts via the
@@ -103,11 +106,14 @@ def _compact_global_kernel(w0, w1, w2, w3, o0, o1, o2, o3):
 
     from .extract import _slide
 
-    ws = [w[0] for w in (w0, w1, w2, w3)]          # (R, 128) uint32
+    ins, outs = refs[:nplanes], refs[nplanes:]
+    ws = [w[0] for w in ins]                       # (R, 128) uint32
     r = ws[0].shape[0]
     n = r * LANES
     s_ = jnp.uint32(SENT)
-    valid = (ws[0] != s_) | (ws[1] != s_) | (ws[2] != s_) | (ws[3] != s_)
+    valid = ws[0] != s_
+    for w in ws[1:]:
+        valid = valid | (w != s_)
     cum_l = _lane_cumsum(valid.astype(jnp.int32))
     row_tot = jnp.max(cum_l, axis=1, keepdims=True)
     cum = cum_l + _row_prefix_excl(row_tot)        # global 1-based ranks
@@ -134,7 +140,7 @@ def _compact_global_kernel(w0, w1, w2, w3, o0, o1, o2, o3):
         d = jnp.where(incoming, d_src - s, jnp.where(leaving, 0, d))
         b += 1
     keep = flat < total
-    for q, o in enumerate((o0, o1, o2, o3)):
+    for q, o in enumerate(outs):
         o[0] = jnp.where(keep, pltpu.bitcast(planes[q], jnp.uint32), s_)
 
 
@@ -152,8 +158,9 @@ def _compact_global_xla(words):
 
     g, n = words[0].shape
     s_ = jnp.uint32(SENT)
-    valid = (words[0] != s_) | (words[1] != s_) | (words[2] != s_) \
-        | (words[3] != s_)
+    valid = words[0] != s_
+    for w in words[1:]:
+        valid = valid | (w != s_)
     cum = jnp.cumsum(valid.astype(jnp.int32), axis=1)     # 1-based ranks
     total = cum[:, -1:]
     flat = lax.broadcasted_iota(jnp.int32, (g, n), 1)
@@ -175,42 +182,48 @@ def _compact_global_xla(words):
 
 
 def compact_global(words, *, interpret: bool = False):
-    """words: 4-list of (G, n) uint32 sentinel-holed planes, n = R*128 a
-    power of two -> same shapes with all valid entries moved to the front
+    """words: list of (G, n) uint32 sentinel-holed planes (4 for full
+    128-bit keys, fewer when the window geometry bounds the key), n = R*128
+    a power of two -> same shapes with all valid entries moved to the front
     in original order, sentinel tail."""
     g, n = words[0].shape
+    np_ = len(words)
     assert n % LANES == 0 and n & (n - 1) == 0
     r = n // LANES
     if r > COMPACT_GLOBAL_MAX_ROWS:
         return _compact_global_xla(words)
     outs = pl.pallas_call(
-        _compact_global_kernel,
+        functools.partial(_compact_global_kernel, nplanes=np_),
         grid=(g,),
-        in_specs=[pl.BlockSpec((1, r, LANES), lambda gi: (gi, 0, 0))] * 4,
-        out_specs=[pl.BlockSpec((1, r, LANES), lambda gi: (gi, 0, 0))] * 4,
-        out_shape=[jax.ShapeDtypeStruct((g, r, LANES), jnp.uint32)] * 4,
+        in_specs=[pl.BlockSpec((1, r, LANES), lambda gi: (gi, 0, 0))] * np_,
+        out_specs=[pl.BlockSpec((1, r, LANES), lambda gi: (gi, 0, 0))] * np_,
+        out_shape=[jax.ShapeDtypeStruct((g, r, LANES), jnp.uint32)] * np_,
         interpret=interpret,
     )(*[w.reshape(g, r, LANES) for w in words])
     return [o.reshape(g, n) for o in outs]
 
 
 def compact_rows(words, k_out: int, *, interpret: bool = False):
-    """words: 4-list of (G, R, 128) uint32 sentinel-padded candidate planes
-    -> 4-list of (G, R, k_out): each row's valid slots moved to the front
-    (original order), all-ones fill.  Rows with more than k_out valid slots
-    drop the excess — callers must detect via valid-count conservation."""
+    """words: list of (G, R, 128) uint32 sentinel-padded candidate planes
+    -> same-length list of (G, R, k_out): each row's valid slots moved to
+    the front (original order), all-ones fill.  Rows with more than k_out
+    valid slots drop the excess — callers must detect via valid-count
+    conservation."""
     g, r, lanes = words[0].shape
+    np_ = len(words)
     assert lanes == LANES
     rt = min(r, 256)                       # rows per grid step
     while r % rt:
         rt //= 2
-    kern = functools.partial(_compact_rows_kernel, k_out=k_out)
+    kern = functools.partial(_compact_rows_kernel, nplanes=np_, k_out=k_out)
     outs = pl.pallas_call(
         kern,
         grid=(g, r // rt),
-        in_specs=[pl.BlockSpec((1, rt, LANES), lambda gi, t: (gi, t, 0))] * 4,
-        out_specs=[pl.BlockSpec((1, rt, k_out), lambda gi, t: (gi, t, 0))] * 4,
-        out_shape=[jax.ShapeDtypeStruct((g, r, k_out), jnp.uint32)] * 4,
+        in_specs=[pl.BlockSpec((1, rt, LANES),
+                               lambda gi, t: (gi, t, 0))] * np_,
+        out_specs=[pl.BlockSpec((1, rt, k_out),
+                                lambda gi, t: (gi, t, 0))] * np_,
+        out_shape=[jax.ShapeDtypeStruct((g, r, k_out), jnp.uint32)] * np_,
         interpret=interpret,
     )(*words)
     return list(outs)

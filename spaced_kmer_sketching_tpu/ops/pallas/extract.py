@@ -102,8 +102,18 @@ def _extract_block_packed(qc_s, qr_s, rid_s, mask_vals, *, window, salt,
     nwords = (2 * window + 31) // 32
     lane = lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
 
+    # slides at repeated offsets are shared: consecutive forward words
+    # overlap (b1 of word q = b0 of word q-1, offsets step by 16), so
+    # memoizing cuts the forward-strand slides from 2*nwords to nwords+1
+    slides = {}
+
+    def sl(plane, name, off):
+        if (name, off) not in slides:
+            slides[(name, off)] = _slide_far(plane, off)
+        return slides[(name, off)]
+
     # reverse-complement strand: sequence-order complemented codes
-    acs = [_slide_far(qc, _LEAD + 16 * m) for m in range(nwords + 1)]
+    acs = [sl(qc, "c", _LEAD + 16 * m) for m in range(nwords + 1)]
     s_rc = (2 * (lane & 15)).astype(jnp.uint32)
     mr = []
     for m in range(nwords):
@@ -115,8 +125,8 @@ def _extract_block_packed(qc_s, qr_s, rid_s, mask_vals, *, window, salt,
     for q in range(nwords):
         d = window - 16 * q - 16
         sb = (2 * ((lane + d) & 15)).astype(jnp.uint32)
-        b0 = _slide_far(qr, _LEAD + d)
-        b1 = _slide_far(qr, _LEAD + d + 16)
+        b0 = sl(qr, "r", _LEAD + d)
+        b1 = sl(qr, "r", _LEAD + d + 16)
         x = (b0 << sb) | (b1 >> ((32 - sb) & 31))
         mf.append(jnp.where(sb == 0, b0, x) & mask_vals[q])
 
@@ -243,10 +253,25 @@ def _kernel(codes_hbm, rid_hbm, mask_ref, o0, o1, o2, o3, okeep,
     okeep[0] = keep.astype(jnp.uint32)
 
 
+_CUMSUM = _os.environ.get("SKS_CUMSUM", "mxu")
+
+
 def _lane_cumsum(x):
-    """Inclusive cumsum along lanes (axis 1) of an (R, 128) int32 array —
-    Hillis-Steele with lane rolls."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    """Inclusive cumsum along lanes (axis 1) of an (R, 128) int32/bool 0-1
+    array.  Default: ONE bf16 matmul against a (128, 128) upper-triangular
+    ones matrix — the MXU is otherwise idle in these kernels and the 7-round
+    Hillis-Steele roll chain was ~5% of the extract kernel's VPU time.
+    Exact: 0/1 values in bf16, sums <= 128 accumulated in f32.
+    SKS_CUMSUM=rolls selects the VPU roll chain (A/B)."""
+    if _CUMSUM == "mxu":
+        j = lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        l = lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        tri = (j <= l).astype(jnp.bfloat16)
+        cum = jnp.dot(x.astype(jnp.bfloat16), tri,
+                      preferred_element_type=jnp.float32)
+        return cum.astype(jnp.int32)
+    x = x.astype(jnp.int32)
+    lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
     for sh in (1, 2, 4, 8, 16, 32, 64):
         shifted = pltpu.roll(x, sh, 1)
         x = x + jnp.where(lane >= sh, shifted, 0)
@@ -254,9 +279,8 @@ def _lane_cumsum(x):
 
 
 def _compact_kernel(qc_hbm, qr_hbm, rid_hbm, mask_ref, salt_ref,
-                    ow0, ow1, ow2, ow3, ocnt,
-                    qc_s, qr_s, rid_s, sems, *, window: int,
-                    scale: int, variant: str, k_slots: int):
+                    *refs, window: int, scale: int, variant: str,
+                    k_slots: int, out_words: int = KEY_WORDS):
     """Extract + filter + per-row compaction: each 128-window row emits its
     first `k_slots` surviving keys (slot s = the (s+1)-th kept window of the
     row, located via a lane cumsum + one-hot reduction).  Rows with more
@@ -265,7 +289,14 @@ def _compact_kernel(qc_hbm, qr_hbm, rid_hbm, mask_ref, salt_ref,
 
     mask_ref (G, 4) and salt_ref (G, 2) are per-batch-element: the batch
     axis can carry genomes (one mask broadcast) OR spaced seeds over one
-    genome (fused multi-seed sketching, the EP analog of SURVEY.md §2.1)."""
+    genome (fused multi-seed sketching, the EP analog of SURVEY.md §2.1).
+
+    out_words < 4 emits only the low key words: canonical masked keys have
+    no bits at positions >= 2*window (the mask has none, utils/masks.py),
+    so words past ceil(2*window/32) are zero for every valid key and the
+    finish carries proportionally less sort/compact/relayout work."""
+    outs = refs[:out_words]
+    ocnt, qc_s, qr_s, rid_s, sems = refs[out_words:]
     g = pl.program_id(0)
     slot = _pipelined_dma((qc_hbm, qr_hbm, rid_hbm), (qc_s, qr_s, rid_s),
                           sems, nblocks=pl.num_programs(1))
@@ -274,25 +305,29 @@ def _compact_kernel(qc_hbm, qr_hbm, rid_hbm, mask_ref, salt_ref,
         [mask_ref[g, q] for q in range(KEY_WORDS)],
         window=window, salt=(salt_ref[g, 0], salt_ref[g, 1]),
         scale=scale, variant=variant)
-    cum = _lane_cumsum(keep.astype(jnp.int32))       # (BROWS, 128)
-    rowcnt = jnp.max(cum, axis=1, keepdims=True)     # = cum[:, -1]
+    canon = canon[:out_words]
     if _EPILOGUE == "butterfly":
         # order-preserving butterfly lane routing (7 rounds, cost
         # independent of k_slots) — the same network the finish's
-        # compact_rows kernel uses
+        # compact_rows kernel uses.  No pre-masking: the routing only
+        # moves keep-flagged lanes, residue past each row's count is
+        # sentinel-masked via svalid below, and the helper's internal
+        # cumsum doubles as rowcnt (the previous separate cumsum +
+        # pre-mask cost ~25 VPU ops/window, measured ~7% of the step).
         from .compact import _butterfly_compact_lanes
-        masked = [jnp.where(keep, c, jnp.uint32(0xFFFFFFFF)) for c in canon]
-        packed, _ = _butterfly_compact_lanes(masked, keep)
+        packed, rowcnt = _butterfly_compact_lanes(canon, keep)
         slotw = [p[:, :k_slots] for p in packed]
     else:
+        cum = _lane_cumsum(keep)                      # (BROWS, 128)
+        rowcnt = jnp.max(cum, axis=1, keepdims=True)  # = cum[:, -1]
         # Mosaic lacks unsigned reductions (and 1-D bitcasts); summing the
         # one-hot selection in int32 is bit-identical (exactly one non-zero
         # term per row), so bitcast 2-D planes in and back out.
         canon_i = [pltpu.bitcast(c, jnp.int32) for c in canon]
-        slots = [[] for _ in range(KEY_WORDS)]
+        slots = [[] for _ in range(out_words)]
         for s in range(k_slots):
             ind = (cum == s + 1) & keep              # one-hot per row
-            for q in range(KEY_WORDS):
+            for q in range(out_words):
                 slots[q].append(
                     jnp.sum(jnp.where(ind, canon_i[q], 0), axis=1,
                             keepdims=True))          # (BROWS, 1) int32
@@ -305,7 +340,7 @@ def _compact_kernel(qc_hbm, qr_hbm, rid_hbm, mask_ref, salt_ref,
     # writing 128-lane-dense via an in-kernel reshape is NOT possible —
     # Mosaic rejects the (BROWS, ks) -> (ks*BROWS/128, 128) shape cast
     # ("infer-vector-layout: unsupported shape cast", verified on hw).
-    for q, oref in enumerate((ow0, ow1, ow2, ow3)):
+    for q, oref in enumerate(outs):
         oref[0] = jnp.where(svalid, slotw[q], jnp.uint32(0xFFFFFFFF))
     ocnt[0] = rowcnt.astype(jnp.int32)
 
@@ -456,6 +491,7 @@ def _norm_mask_salt(mask_words, salt, g):
 def extract_compact_windows_batched(codes, run_id, mask_words, *,
                                     window: int, salt, scale: int,
                                     variant: str, k_slots: int,
+                                    out_words: int = KEY_WORDS,
                                     interpret: bool = False):
     """codes/run_id (G, n) -> (words 4 x (G, M) uint32 candidate key lanes
     with all-ones fill, rowcnt (G, R) int32 true per-row survivor counts),
@@ -475,23 +511,30 @@ def extract_compact_windows_batched(codes, run_id, mask_words, *,
     qc2, qr2, rid2, nw, nwp = _pad_batch_packed(codes, run_id, window)
     return extract_compact_windows_prepacked(
         qc2, qr2, rid2, mask_words, nw=nw, window=window, salt=salt,
-        scale=scale, variant=variant, k_slots=k_slots, interpret=interpret)
+        scale=scale, variant=variant, k_slots=k_slots, out_words=out_words,
+        interpret=interpret)
 
 
 def extract_compact_windows_prepacked(qc2, qr2, rid2, mask_words, *,
                                       nw: int, window: int, salt, scale: int,
                                       variant: str, k_slots: int,
+                                      out_words: int = KEY_WORDS,
                                       interpret: bool = False):
     """Kernel entry on pre-packed (G, rows, 128) planes from pack_genomes_np
-    (or _pad_batch_packed); nw = true window count of the original codes."""
+    (or _pad_batch_packed); nw = true window count of the original codes.
+    out_words <= 4 selects how many low key-word planes are emitted (all
+    higher words are zero for every valid key when 2*window <= 32*out_words
+    — see _compact_kernel)."""
     g = qc2.shape[0]
     nwp = ((nw + BLOCK - 1) // BLOCK) * BLOCK
     rows = nwp // LANES
+    assert 32 * out_words >= 2 * window
 
     mask_words, salts = _norm_mask_salt(mask_words, salt, g)
 
     kern = functools.partial(_compact_kernel, window=window,
-                             scale=scale, variant=variant, k_slots=k_slots)
+                             scale=scale, variant=variant, k_slots=k_slots,
+                             out_words=out_words)
     word_shape = jax.ShapeDtypeStruct((g, rows, k_slots), jnp.uint32)
     outs = pl.pallas_call(
         kern,
@@ -507,10 +550,10 @@ def extract_compact_windows_prepacked(qc2, qr2, rid2, mask_words, *,
         ],
         out_specs=(
             [pl.BlockSpec((1, BROWS, k_slots), lambda gi, b: (gi, b, 0),
-                          memory_space=pltpu.VMEM)] * 4
+                          memory_space=pltpu.VMEM)] * out_words
             + [pl.BlockSpec((1, BROWS, 1), lambda gi, b: (gi, b, 0),
                             memory_space=pltpu.VMEM)]),
-        out_shape=[word_shape] * 4 + [
+        out_shape=[word_shape] * out_words + [
             jax.ShapeDtypeStruct((g, rows, 1), jnp.int32)],
         scratch_shapes=[
             pltpu.VMEM((2, TILE_ROWS, LANES), jnp.uint32),
@@ -520,6 +563,6 @@ def extract_compact_windows_prepacked(qc2, qr2, rid2, mask_words, *,
         ],
         interpret=interpret,
     )(qc2, qr2, rid2, mask_words, salts)
-    words = [o.reshape(g, rows * k_slots) for o in outs[:4]]
-    rowcnt = outs[4].reshape(g, rows)
+    words = [o.reshape(g, rows * k_slots) for o in outs[:out_words]]
+    rowcnt = outs[out_words].reshape(g, rows)
     return words, rowcnt, nw

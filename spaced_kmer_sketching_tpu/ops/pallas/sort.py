@@ -45,7 +45,7 @@ def _partner(x, d: int):
 
 def _lex_lt(a, b):
     lt = a[0] < b[0]
-    for q in range(1, KEY_WORDS):
+    for q in range(1, len(a)):
         lt = (a[q] < b[q]) | ((a[q] == b[q]) & lt)
     return lt
 
@@ -66,8 +66,9 @@ def _lex_lt_tb(a, b, nkeys: int = KEY_WORDS):
     return lt
 
 
-def _sort_kernel(n: int, w0, w1, w2, w3, o0, o1, o2, o3):
-    x = [w0[:], w1[:], w2[:], w3[:]]
+def _sort_kernel(n: int, nplanes: int, *refs):
+    ins, outs = refs[:nplanes], refs[nplanes:]
+    x = [w[:] for w in ins]
     shape = x[0].shape
     row = lax.broadcasted_iota(jnp.int32, shape, 0)
     lane = lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -88,37 +89,40 @@ def _sort_kernel(n: int, w0, w1, w2, w3, o0, o1, o2, o3):
             want_x = take_min == x_lt_p   # keep own value?
             # tie (x == p): x_lt_p False -> want_x = ~take_min; both equal, fine
             x = [jnp.where(want_x, xi, pi) for xi, pi in zip(x, p)]
-    o0[:], o1[:], o2[:], o3[:] = x
+    for o, xi in zip(outs, x):
+        o[:] = xi
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def bitonic_sort_128(keys, interpret: bool = False):
-    """Sort (N, 4) uint32 128-bit rows ascending; N a power of two >= 1024.
+    """Sort (N, W) uint32 multi-word rows ascending (W little-endian lanes,
+    W = 4 for full 128-bit keys, fewer when the window geometry bounds the
+    key to the low words); N a power of two >= 1024.
 
     N <= TILE_ELEMS runs as one unrolled bitonic network.  Larger N uses a
     tiled merge sort — Mosaic compile time scales with the unrolled pass
     count times the array size, and a monolithic 131k-row network took >8
     minutes to compile: tiles sort in parallel grid steps with alternating
     directions, then log2(T) small merge-round kernels combine them."""
-    n = keys.shape[0]
+    n, nw = keys.shape
     assert n & (n - 1) == 0 and n >= 1024, "N must be a power of two >= 1024"
     r = n // LANES
-    planes = [keys[:, q].reshape(r, LANES) for q in range(KEY_WORDS)]
+    planes = [keys[:, q].reshape(r, LANES) for q in range(nw)]
     if n <= TILE_ELEMS:
-        kern = functools.partial(_sort_kernel, n)
+        kern = functools.partial(_sort_kernel, n, nw)
         outs = pl.pallas_call(
             kern,
             out_shape=[jax.ShapeDtypeStruct((r, LANES),
-                                            jnp.uint32)] * KEY_WORDS,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * KEY_WORDS,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * KEY_WORDS,
+                                            jnp.uint32)] * nw,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * nw,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * nw,
             interpret=interpret,
         )(*planes)
     else:
         outs = _tile_sort(planes, interpret)
         lr = TILE_ROWS
         while lr < r:
-            outs = _merge_round(outs, lr, interpret)
+            outs = _merge_round(outs, lr, interpret, nkeys=nw)
             lr *= 2
     return jnp.stack([o.reshape(n) for o in outs], axis=-1)
 
@@ -127,12 +131,12 @@ TILE_ROWS = 256
 TILE_ELEMS = TILE_ROWS * LANES          # 32768
 
 
-def _tile_sort_kernel(force_asc: bool, m: int, w0, w1, w2, w3,
-                      o0, o1, o2, o3):
+def _tile_sort_kernel(force_asc: bool, m: int, nplanes: int, *refs):
     """Full bitonic sort of one m-element tile; unless force_asc, direction
     alternates with grid id so adjacent tiles form bitonic sequences for
     the merges."""
-    x = [w0[:], w1[:], w2[:], w3[:]]
+    ins, outs = refs[:nplanes], refs[nplanes:]
+    x = [w[:] for w in ins]
     shape = x[0].shape
     row = lax.broadcasted_iota(jnp.int32, shape, 0)
     lane = lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -148,31 +152,35 @@ def _tile_sort_kernel(force_asc: bool, m: int, w0, w1, w2, w3,
             lower = (flat & d) == 0
             want_x = (lower == asc) == x_lt_p
             x = [jnp.where(want_x, xi, pi) for xi, pi in zip(x, p)]
-    o0[:], o1[:], o2[:], o3[:] = x
+    for o, xi in zip(outs, x):
+        o[:] = xi
 
 
 def _tile_sort(planes, interpret, force_asc=False, tile_rows=TILE_ROWS):
     r = planes[0].shape[0]
+    np_ = len(planes)
     t = r // tile_rows
     return pl.pallas_call(
-        functools.partial(_tile_sort_kernel, force_asc, tile_rows * LANES),
+        functools.partial(_tile_sort_kernel, force_asc, tile_rows * LANES,
+                          np_),
         grid=(t,),
         in_specs=[pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)] * KEY_WORDS,
+                               memory_space=pltpu.VMEM)] * np_,
         out_specs=[pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)] * KEY_WORDS,
-        out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.uint32)] * KEY_WORDS,
+                                memory_space=pltpu.VMEM)] * np_,
+        out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.uint32)] * np_,
         interpret=interpret,
     )(*planes)
 
 
-def _multi_run_sort_kernel(run_elems: int, w0, w1, w2, w3, o0, o1, o2, o3):
+def _multi_run_sort_kernel(run_elems: int, nplanes: int, *refs):
     """Sort every run_elems-long run inside one block independently,
     direction alternating with the GLOBAL run index.  Bitonic passes at
     distances < run_elems never cross run boundaries (runs are aligned
     powers of two), so many runs sort in a single grid step — grid-step
     overhead was dominating when each tiny run had its own step."""
-    x = [w0[:], w1[:], w2[:], w3[:]]
+    ins, outs = refs[:nplanes], refs[nplanes:]
+    x = [w[:] for w in ins]
     shape = x[0].shape
     row = lax.broadcasted_iota(jnp.int32, shape, 0)
     lane = lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -192,7 +200,8 @@ def _multi_run_sort_kernel(run_elems: int, w0, w1, w2, w3, o0, o1, o2, o3):
             lower = (flat & d) == 0
             want_x = (lower == asc) == x_lt_p
             x = [jnp.where(want_x, xi, pi) for xi, pi in zip(x, p)]
-    o0[:], o1[:], o2[:], o3[:] = x
+    for o, xi in zip(outs, x):
+        o[:] = xi
 
 
 def sort_runs_128(planes, run_rows: int, interpret: bool = False):
@@ -201,6 +210,7 @@ def sort_runs_128(planes, run_rows: int, interpret: bool = False):
     bitonic run pairs for _merge_round.  Blocks cover as many whole runs as
     fit in a tile so small runs don't pay per-grid-step overhead."""
     r = planes[0].shape[0]
+    np_ = len(planes)
     block_rows = min(r, max(run_rows, TILE_ROWS))
     rpb = block_rows // run_rows
     if (block_rows % run_rows or r % block_rows
@@ -209,34 +219,34 @@ def sort_runs_128(planes, run_rows: int, interpret: bool = False):
         # back to one run per grid step with grid-id parity
         return _tile_sort(planes, interpret, force_asc=False,
                           tile_rows=run_rows)
-    kern = functools.partial(_multi_run_sort_kernel, run_rows * LANES)
+    kern = functools.partial(_multi_run_sort_kernel, run_rows * LANES, np_)
     return pl.pallas_call(
         kern,
         grid=(r // block_rows,),
         in_specs=[pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)] * KEY_WORDS,
+                               memory_space=pltpu.VMEM)] * np_,
         out_specs=[pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)] * KEY_WORDS,
-        out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.uint32)] * KEY_WORDS,
+                                memory_space=pltpu.VMEM)] * np_,
+        out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.uint32)] * np_,
         interpret=interpret,
     )(*planes)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "interpret"))
 def sort_truncate_128(keys, capacity: int, interpret: bool = False):
-    """Sort (M, 4) rows and return the per-tile smallest capacity of them,
+    """Sort (M, W) rows and return the per-tile smallest capacity of them,
     globally sorted ascending: per-tile ascending sorts -> truncate each of
     the T tiles to capacity/T slots -> reverse odd runs -> bitonic merge
     rounds.  EXACT whenever every tile holds <= capacity/T non-sentinel
     rows (the caller checks tile occupancy and retries otherwise) — the
     use case is compacting a sparse sentinel-padded candidate array where
     sorting the full M rows wastes the sort on fill."""
-    m = keys.shape[0]
+    m, nw = keys.shape
     t = m // TILE_ELEMS
     cut = capacity // t
     assert m % TILE_ELEMS == 0 and t >= 2, "need >= 2 full tiles"
     assert cut >= LANES and cut % LANES == 0 and capacity % t == 0
-    planes = [keys[:, q].reshape(m // LANES, LANES) for q in range(KEY_WORDS)]
+    planes = [keys[:, q].reshape(m // LANES, LANES) for q in range(nw)]
     planes = _tile_sort(planes, interpret, force_asc=True)
 
     outs = []
@@ -248,7 +258,7 @@ def sort_truncate_128(keys, capacity: int, interpret: bool = False):
                                                          LANES))
     lr = cut // LANES
     while lr < capacity // LANES:
-        outs = _merge_round(outs, lr, interpret)
+        outs = _merge_round(outs, lr, interpret, nkeys=nw)
         lr *= 2
     return jnp.stack([o.reshape(capacity) for o in outs], axis=-1)
 

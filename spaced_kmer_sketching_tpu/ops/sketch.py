@@ -45,13 +45,16 @@ class SketchBatch(NamedTuple):
 
 
 def _sort_rows(words, extra=()):
-    """Ascending 128-bit lexicographic sort. `words` little-endian lanes.
+    """Ascending multi-word lexicographic sort. `words` little-endian lanes
+    (4 for full 128-bit keys; fewer when the window geometry bounds the key
+    to the low words — see finish_words).
 
     Dispatches to the Pallas bitonic kernel on TPU (XLA's multi-operand
     comparator sort was the dominant cost of the whole sketch step: 2.5 ms
     of a 4.5 ms step at 32k rows on v5e); falls back to lax.sort on other
     backends, for ride-along operands, or for shapes the kernel rejects."""
     n = words[0].shape[0]
+    kw = len(words)
     use_pallas = (not extra and jax.default_backend() == "tpu"
                   and words[0].ndim == 1 and n >= 1024
                   and (n & (n - 1)) == 0
@@ -59,11 +62,10 @@ def _sort_rows(words, extra=()):
     if use_pallas:
         from .pallas.sort import bitonic_sort_128
         keys = bitonic_sort_128(jnp.stack(words, axis=-1))
-        return [keys[:, q] for q in range(KEY_WORDS)], ()
-    operands = (words[3], words[2], words[1], words[0]) + tuple(extra)
-    out = lax.sort(operands, num_keys=4)
-    w3, w2, w1, w0 = out[:4]
-    return [w0, w1, w2, w3], out[4:]
+        return [keys[:, q] for q in range(kw)], ()
+    operands = tuple(reversed(words)) + tuple(extra)
+    out = lax.sort(operands, num_keys=kw)
+    return list(reversed(out[:kw])), out[kw:]
 
 
 def sketch_core(codes, run_id, mask_words, *, window: int, salt,
@@ -122,6 +124,32 @@ def _finish_sketch(canon, keep, capacity: int) -> SketchBatch:
     return SketchBatch(keys=keys, count=count, raw_kept=raw_kept)
 
 
+def finish_words(window: int) -> int:
+    """Key words that can be nonzero for valid canonical keys: spaced-seed
+    masks set bits only below 2*window (utils/masks.py), so words at and
+    above ceil(2*window/32) are zero for every valid key — the extract
+    kernel emits only the low words and the finish carries proportionally
+    less sort/compact/relayout work.  Sentinel detection on the carried
+    words alone stays sound: all-ones in the carried words would need both
+    strands all-ones at every care position simultaneously (window all-T
+    forward AND all-A forward), which is impossible (same argument as
+    ops/pallas/compact.py's sentinel note)."""
+    return max(1, (2 * window + 31) // 32)
+
+
+def _expand_keys(planes):
+    """Reconstruct the public 4-word key layout from `kw` carried planes:
+    valid rows get zero high words, sentinel rows all-ones."""
+    if len(planes) >= KEY_WORDS:
+        return jnp.stack(planes, axis=-1)
+    sent = planes[0] == SENTINEL
+    for p in planes[1:]:
+        sent = sent & (p == SENTINEL)
+    hi = jnp.where(sent, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    return jnp.stack(list(planes) + [hi] * (KEY_WORDS - len(planes)),
+                     axis=-1)
+
+
 def slots_for_scale(scale: int) -> int:
     """Per-row (128-window) candidate slots for the compacting kernel:
     survivors per row ~ Poisson(128/scale).  The slot budget is the
@@ -178,7 +206,8 @@ def _sketch_batch_pallas(codes, run_id, mask_words, salt, *, window: int,
     k_slots = _k_slots_for(nw, scale, capacity)
     words, rowcnt, _ = extract_compact_windows_batched(
         codes, run_id, mask_words, window=window, salt=salt, scale=scale,
-        variant=variant, k_slots=k_slots, interpret=interpret)
+        variant=variant, k_slots=k_slots, out_words=finish_words(window),
+        interpret=interpret)
     return _finish_dispatch(words, rowcnt, nw, k_slots, capacity, scale,
                             interpret)
 
@@ -196,7 +225,8 @@ def sketch_batch_packed(qc, qr, rid, mask_words, *, n: int, window: int,
     k_slots = _k_slots_for(nw, scale, capacity)
     words, rowcnt, _ = extract_compact_windows_prepacked(
         qc, qr, rid, mask_words, nw=nw, window=window, salt=salt,
-        scale=scale, variant=variant, k_slots=k_slots, interpret=interpret)
+        scale=scale, variant=variant, k_slots=k_slots,
+        out_words=finish_words(window), interpret=interpret)
     return _finish_dispatch(words, rowcnt, nw, k_slots, capacity, scale,
                             interpret)
 
@@ -254,7 +284,7 @@ def sketch_batch_compact(p, bounds, rid0, valid_len, mask_words, *, n: int,
         qc.reshape(g, -1, LANES), qr.reshape(g, -1, LANES),
         rid.reshape(g, -1, LANES), mask_words, nw=nw, window=window,
         salt=salt, scale=scale, variant=variant, k_slots=k_slots,
-        interpret=interpret)
+        out_words=finish_words(window), interpret=interpret)
     return _finish_dispatch(words, rowcnt, nw, k_slots, capacity, scale,
                             interpret)
 
@@ -285,13 +315,14 @@ def _finish_dispatch(words, rowcnt, nw: int, k_slots: int, capacity: int,
     out_elems = capacity // npb if npb else 0
     if (nblocks >= 2 and 128 <= out_elems <= run_elems
             and capacity % npb == 0 and out_elems % 128 == 0):
-        def finish(w0, w1, w2, w3, rc):
-            return _finish_runs([w0, w1, w2, w3], rc, k_slots, nblocks,
+        def finish(*args):
+            return _finish_runs(list(args[:-1]), args[-1], k_slots, nblocks,
                                 run_elems, out_elems, capacity, interpret)
         return jax.vmap(finish)(*words, rowcnt)
 
-    def finish(w0, w1, w2, w3, rc):
-        return _finish_candidates([w0, w1, w2, w3], rc, k_slots, capacity)
+    def finish(*args):
+        return _finish_candidates(list(args[:-1]), args[-1], k_slots,
+                                  capacity)
     return jax.vmap(finish)(*words, rowcnt)
 
 
@@ -360,6 +391,7 @@ def _finish_tree(words, rowcnt, k_slots: int, capacity: int, scale: int,
     from .pallas.compact import compact_rows
 
     g, m = words[0].shape
+    kw = len(words)
     rows = rowcnt.shape[1]
     stages = _tree_chain(m, 128.0 / k_slots, scale, capacity, g)
     assert stages is not None
@@ -373,8 +405,9 @@ def _finish_tree(words, rowcnt, k_slots: int, capacity: int, scale: int,
 
     # valid-count conservation (exact drop detection)
     sent = jnp.uint32(SENTINEL)
-    still = ((planes[0] != sent) | (planes[1] != sent)
-             | (planes[2] != sent) | (planes[3] != sent))
+    still = planes[0] != sent
+    for p in planes[1:]:
+        still = still | (p != sent)
     kept_after = jnp.sum(still, axis=1).astype(jnp.int32)      # (G,)
 
     mp = 1 << (max(mf, capacity) - 1).bit_length()   # sort size (pow2)
@@ -397,13 +430,14 @@ def _finish_tree(words, rowcnt, k_slots: int, capacity: int, scale: int,
         planes = compact_global(planes, interpret=interpret)
         planes = [p[:, :sort_m] for p in planes]
 
-    def one(w0, w1, w2, w3, rc, ka):
-        buf, _ = _sort_rows([w0, w1, w2, w3])
+    def one(*args):
+        w, (rc, ka) = args[:kw], args[kw:]
+        buf, _ = _sort_rows(list(w))
         if sort_m >= capacity:
-            buf = [w[:capacity] for w in buf]
+            buf = [x[:capacity] for x in buf]
         else:
             tailf = jnp.full((capacity - sort_m,), SENTINEL, jnp.uint32)
-            buf = [jnp.concatenate([w, tailf]) for w in buf]
+            buf = [jnp.concatenate([x, tailf]) for x in buf]
         rcl = jnp.minimum(rc, k_slots)
         valid_total = jnp.sum(rcl).astype(jnp.int32)
         total = jnp.sum(rc).astype(jnp.int32)
@@ -413,21 +447,19 @@ def _finish_tree(words, rowcnt, k_slots: int, capacity: int, scale: int,
             overflow, jnp.maximum(total, jnp.int32(capacity + 1)), total)
         idx = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
         neq_prev = jnp.zeros((capacity,), jnp.bool_)
-        for q in range(KEY_WORDS):
+        for q in range(kw):
             neq_prev = neq_prev | (buf[q] != jnp.roll(buf[q], 1))
         uniq = (idx < jnp.minimum(valid_total, capacity)) & \
             ((idx == 0) | neq_prev)
         count = jnp.sum(uniq).astype(jnp.int32)
-        bufm = [jnp.where(uniq, w, SENTINEL) for w in buf]
+        bufm = [jnp.where(uniq, x, SENTINEL) for x in buf]
         return (*bufm, count, raw_kept)
 
-    w0m, w1m, w2m, w3m, count, raw_kept = jax.vmap(one)(
-        *planes, rowcnt, kept_after)
+    *bufm, count, raw_kept = jax.vmap(one)(*planes, rowcnt, kept_after)
     # survivors are already sorted; close the duplicate holes with the
     # order-preserving butterfly instead of a second full bitonic sort
     from .pallas.compact import compact_global
-    keys = jnp.stack(compact_global([w0m, w1m, w2m, w3m],
-                                    interpret=interpret), axis=-1)
+    keys = _expand_keys(compact_global(list(bufm), interpret=interpret))
     return SketchBatch(keys=keys, count=count, raw_kept=raw_kept)
 
 
@@ -444,6 +476,7 @@ def _finish_runs(words, rowcnt, k_slots: int, nblocks: int, run_elems: int,
     from .pallas.sort import _merge_round, sort_runs_128
 
     m = words[0].shape[0]                     # nblocks * run_elems
+    kw = len(words)
     run_rows = run_elems // 128
     planes = [w.reshape(m // 128, 128) for w in words]
     planes = sort_runs_128(planes, run_rows, interpret)
@@ -466,7 +499,7 @@ def _finish_runs(words, rowcnt, k_slots: int, nblocks: int, run_elems: int,
     planes = [w.reshape(capacity // 128, 128) for w in trunc]
     lr = out_elems // 128
     while lr < capacity // 128:
-        planes = _merge_round(planes, lr, interpret)
+        planes = _merge_round(planes, lr, interpret, nkeys=kw)
         lr *= 2
     buf = [p.reshape(capacity) for p in planes]
 
@@ -485,12 +518,12 @@ def _finish_runs(words, rowcnt, k_slots: int, nblocks: int, run_elems: int,
 
     idx = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
     neq_prev = jnp.zeros((capacity,), jnp.bool_)
-    for q in range(KEY_WORDS):
+    for q in range(kw):
         neq_prev = neq_prev | (buf[q] != jnp.roll(buf[q], 1))
     uniq = (idx < jnp.minimum(valid_total, capacity)) & \
         ((idx == 0) | neq_prev)
     count = jnp.sum(uniq).astype(jnp.int32)
-    keys = jnp.stack(_compact_unique(buf, uniq, idx), axis=-1)
+    keys = _expand_keys(_compact_unique(buf, uniq, idx))
     return SketchBatch(keys=keys, count=count, raw_kept=raw_kept)
 
 
@@ -518,6 +551,7 @@ def _finish_candidates(words, rowcnt, k_slots: int, capacity: int
     from .pallas.sort import TILE_ELEMS, sort_truncate_128
 
     rows = rowcnt.shape[0]
+    kw = len(words)
     rcl = jnp.minimum(rowcnt, k_slots)
     valid_total = jnp.sum(rcl).astype(jnp.int32)
     m = words[0].shape[0]
@@ -541,7 +575,7 @@ def _finish_candidates(words, rowcnt, k_slots: int, capacity: int
         tile_valid = jnp.sum(rcl_p.reshape(t, rows_per_tile), axis=1)
         overflow = overflow | jnp.any(tile_valid > capacity // t)
         keys4 = sort_truncate_128(jnp.stack(words, axis=-1), capacity)
-        buf = [keys4[:, q] for q in range(KEY_WORDS)]
+        buf = [keys4[:, q] for q in range(kw)]
     else:
         buf, _ = _sort_rows(words)
         if mp >= capacity:
@@ -556,12 +590,12 @@ def _finish_candidates(words, rowcnt, k_slots: int, capacity: int
 
     idx = lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
     neq_prev = jnp.zeros((capacity,), jnp.bool_)
-    for q in range(KEY_WORDS):
+    for q in range(kw):
         neq_prev = neq_prev | (buf[q] != jnp.roll(buf[q], 1))
     uniq = (idx < jnp.minimum(valid_total, capacity)) & \
         ((idx == 0) | neq_prev)
     count = jnp.sum(uniq).astype(jnp.int32)
-    keys = jnp.stack(_compact_unique(buf, uniq, idx), axis=-1)
+    keys = _expand_keys(_compact_unique(buf, uniq, idx))
     return SketchBatch(keys=keys, count=count, raw_kept=raw_kept)
 
 
