@@ -253,8 +253,9 @@ def gram_rect_ondevice(keys_r, counts_r, keys_c, counts_c, *,
 def gram_all_pairs_ondevice(keys, counts, *, chunk: int | None = None,
                             key_words: int = 4, interpret: bool = False):
     """Exact (G, G) int32 all-pairs intersection matrix, computed without
-    any host round-trip: keys (G, cap, 4) uint32 device sketches (sorted
-    unique, sentinel padded — SketchBatch.keys layout), counts (G,).
+    any host round-trip: keys (G, cap, W) uint32 device sketches (sorted
+    unique, sentinel padded — SketchBatch.keys layout; W >= key_words, so
+    callers may upload only the low key-word planes), counts (G,).
 
     Requires chunk >= G (one key contributes at most G entries, so a run
     spans at most one chunk boundary) and a multiple of LANES; the default
@@ -281,7 +282,7 @@ def gram_all_pairs_ondevice(keys, counts, *, chunk: int | None = None,
     # pseudo-sketches (they sort to the back and their S rows are zero)
     g2 = 1 << max(0, (g - 1).bit_length())
     if g2 != g:
-        pad = jnp.full((g2 - g, cap, 4), 0xFFFFFFFF, jnp.uint32)
+        pad = jnp.full((g2 - g, cap, keys.shape[2]), 0xFFFFFFFF, jnp.uint32)
         keys = jnp.concatenate([keys, pad], axis=0)
     n = g2 * cap
 

@@ -103,6 +103,12 @@ def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
             x = jnp.asarray(x)
             return jax.device_put(x, dev) if dev is not None else x
 
+        def slim(k):
+            # upload only the key words the engine reads — canonical keys
+            # have no bits at or above 2*window, so the high planes are
+            # zero/sentinel ballast on a ~110 MB/s tunnel
+            return np.ascontiguousarray(np.asarray(k)[:, :, :key_words])
+
         pending = deque()
 
         def collect_one():
@@ -119,8 +125,13 @@ def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
         # once per row, column blocks are cached device-side up to a byte
         # budget (single device covers the whole sweep; multi-device runs
         # re-upload a column block at most once per row), and the stacked
-        # operand is concatenated ON device — re-uploading both blocks per
-        # tile made the sweep transfer-bound through the TPU tunnel
+        # operand is concatenated ON device -- re-uploading both blocks per
+        # tile made the sweep transfer-bound through the TPU tunnel.
+        # Per-tile dispatch is deliberate: dispatches are async and the
+        # runtime pipelines them (8 queued single-tile programs measured
+        # 304 ms against 462 ms for one 8-tile gram_rect_ondevice_multi
+        # program, and groups straddling the diagonal recompute known
+        # tiles -- a measured 2x regression at G=1024 before this revert).
         cache_budget = 2 << 30
         col_cache, cached_bytes = {}, 0
         single = len(devs) == 1
@@ -128,7 +139,7 @@ def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
             dev = devs[bi % len(devs)]
             r0, r1 = bi * block, min(g, (bi + 1) * block)
             krow, crow = provider(r0, r1)
-            kr, cr = put(krow, dev), put(crow, dev)
+            kr, cr = put(slim(krow), dev), put(crow, dev)
             pending.append((r0, r1, r0, r1, gram_all_pairs_ondevice(
                 kr, cr, key_words=key_words)))
             if len(pending) >= max_inflight:
@@ -140,7 +151,7 @@ def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
                     kc, cc = col_cache[bj]
                 else:
                     kcol, ccol = provider(c0, c1)
-                    kc, cc = put(kcol, dev), put(ccol, dev)
+                    kc, cc = put(slim(kcol), dev), put(ccol, dev)
                     add = kc.nbytes + cc.nbytes
                     if single and cached_bytes + add <= cache_budget:
                         col_cache[bj] = (kc, cc)

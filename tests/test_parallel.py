@@ -281,6 +281,17 @@ def test_blocked_all_pairs_matches_tile():
     got4 = blocked_all_pairs(mesh, keys, counts, block=4, engine="gram")
     np.testing.assert_array_equal(got4, want)
 
+    # ragged tail block (g not a block multiple) takes the dedicated
+    # rect dispatch alongside the grouped full blocks
+    got5 = blocked_all_pairs(mesh, keys, counts, block=6, engine="gram")
+    np.testing.assert_array_equal(got5, want)
+
+    # key_words < 4 slims the uploads (keys here live in word 0 only;
+    # word 1 is the sentinel guard)
+    got6 = blocked_all_pairs(mesh, keys, counts, block=4, engine="gram",
+                             key_words=2)
+    np.testing.assert_array_equal(got6, want)
+
 
 def test_sharded_gram_matches_sets(mesh, genomes):
     """MXU Gram all-pairs with union tiles sharded over the mesh equals

@@ -98,3 +98,36 @@ def test_capacity_overflow_reported():
     # scale=2 keeps ~half the windows -> way over capacity 256
     _, _, _, count, raw = device_sketch(runs, 16, 16, scale=2, capacity=256)
     assert raw > 256  # caller must retry with bigger capacity
+
+
+@pytest.mark.parametrize("window,k", [(10, 10), (16, 12), (20, 16),
+                                      (33, 20), (50, 30), (64, 40)])
+def test_kw_finish_matches_xla_path(window, k):
+    """The key_words-reduced Pallas finish (extract kernel emits only the
+    low key words the window geometry allows; ops/sketch.finish_words) is
+    bit-identical to the plain XLA sketch path, including the 4-word
+    sentinel-tail reconstruction (_expand_keys)."""
+    from spaced_kmer_sketching_tpu.ops.sketch import (_sketch_batch_pallas,
+                                                      finish_words,
+                                                      sketch_batch)
+    from spaced_kmer_sketching_tpu.utils.masks import spaced_seed_mask
+
+    assert finish_words(window) == max(1, (2 * window + 31) // 32)
+    mask = spaced_seed_mask(window, k, 0)
+    salt = boosthash.fmh_salt(mask.lo, mask.hi, window, 1, "modern")
+    rng = np.random.default_rng(window)
+    g, n, cap, scale = 3, 4096, 1024, 20
+    codes = rng.integers(0, 4, (g, n)).astype(np.uint32)
+    run_id = np.stack([run_ids_from_lens([n], n)] * g)
+    out_p = _sketch_batch_pallas(
+        jnp.asarray(codes), jnp.asarray(run_id), jnp.asarray(mask.words_u32),
+        salt, window=window, scale=scale, variant="modern", capacity=cap,
+        interpret=True)
+    out_x = sketch_batch(
+        jnp.asarray(codes), jnp.asarray(run_id), jnp.asarray(mask.words_u32),
+        window=window, salt=salt, scale=scale, variant="modern", capacity=cap)
+    kp, kx = np.asarray(out_p.keys), np.asarray(out_x.keys)
+    cp, cx = np.asarray(out_p.count), np.asarray(out_x.count)
+    np.testing.assert_array_equal(cp, cx)
+    np.testing.assert_array_equal(kp, kx)       # incl. sentinel tails
+    assert np.all(kp[0, cp[0]:] == 0xFFFFFFFF)
