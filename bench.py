@@ -55,7 +55,7 @@ def main() -> int:
                     help="genomes per device dispatch in --mode sketch")
     ap.add_argument("--no-verify", action="store_true",
                     help="skip the on-hardware key-level parity gate")
-    ap.add_argument("--steps-per-dispatch", type=int, default=16,
+    ap.add_argument("--steps-per-dispatch", type=int, default=32,
                     help="sketch: independent steps mapped into one "
                          "program (amortizes per-dispatch runtime overhead)")
     ap.add_argument("--probe", action="store_true",
