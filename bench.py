@@ -55,9 +55,13 @@ def main() -> int:
                     help="genomes per device dispatch in --mode sketch")
     ap.add_argument("--no-verify", action="store_true",
                     help="skip the on-hardware key-level parity gate")
-    ap.add_argument("--steps-per-dispatch", type=int, default=32,
+    ap.add_argument("--steps-per-dispatch", type=int, default=16,
                     help="sketch: independent steps mapped into one "
-                         "program (amortizes per-dispatch runtime overhead)")
+                         "program (amortizes per-dispatch runtime "
+                         "overhead; 16 is the measured amortization knee "
+                         "— 32 times identically while doubling the tiled "
+                         "host buffers, BASELINE_RESULTS.md). Echoed in "
+                         "the JSON line for reproducibility.")
     ap.add_argument("--probe", action="store_true",
                     help="allpairs: use the XLA binary-search probe instead "
                          "of the MXU Gram-matrix path")
@@ -227,6 +231,7 @@ def main() -> int:
         "nt": n, "batch": g, "window": window, "k": k, "scale": scale,
         "sketch_count": int(np.asarray(out.count)[0]),
         "step_ms": round(dt * 1e3, 3),
+        "steps_per_dispatch": steps,
         "verified": verified,
     }
     print(json.dumps(result))
