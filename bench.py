@@ -75,6 +75,9 @@ def main() -> int:
                          "--block-size blocks")
     ap.add_argument("--block-size", type=int, default=256,
                     help="macro-tile block for --blocked")
+    ap.add_argument("--pair-batch", type=int, default=256,
+                    help="macro-tiles per dispatch for --blocked (the "
+                         "block-cache schedule)")
     ap.add_argument("--ondevice", action="store_true",
                     help="allpairs: fully on-device Gram engine (Pallas "
                          "merge-sort + chunked S^T E S matmuls; no host "
@@ -287,19 +290,17 @@ def bench_allpairs(args) -> int:
         mesh = make_mesh(devices=jax.devices()[:1])
         blk = args.block_size
         kw = key_words_for_window(args.window)
-        # warm the gram shapes on prefixes: diag(blk) + rect(2*blk), and
-        # when G is not a block multiple also the ragged last-block shapes
-        # (otherwise they compile inside the timed sweep)
-        blocked_all_pairs(mesh, keys_np[:2 * blk], counts_np[:2 * blk],
-                          block=blk, key_words=kw)
-        rem = g % blk
-        if rem:
-            blocked_all_pairs(mesh, keys_np[:blk + rem],
-                              counts_np[:blk + rem], block=blk,
-                              key_words=kw)
+        kb = 2 * args.window
+        # warm with one full-shape sweep (the cache and pair-batch program
+        # shapes depend on the block count, so a prefix warm would still
+        # compile inside the timed run)
+        blocked_all_pairs(mesh, keys_np, counts_np, block=blk,
+                          key_words=kw, key_bits=kb,
+                          pair_batch=args.pair_batch)
         t0 = time.perf_counter()
         mat = blocked_all_pairs(mesh, keys_np, counts_np, block=blk,
-                                key_words=kw)
+                                key_words=kw, key_bits=kb,
+                                pair_batch=args.pair_batch)
         dt = time.perf_counter() - t0
         mat = mat.astype(np.int64)
 
@@ -410,7 +411,8 @@ def bench_allpairs(args) -> int:
 
         def allpairs():
             return gram_all_pairs_ondevice(keys_dev, counts_dev,
-                                           key_words=kw)
+                                           key_words=kw,
+                                           key_bits=2 * args.window)
 
         out = allpairs()
         checksum = int(np.asarray(out.sum()))    # compile + force

@@ -519,7 +519,8 @@ class FracMinHashSketcher:
             import jax.numpy as jnp
             return np.asarray(gram_all_pairs_ondevice(
                 jnp.asarray(keys_np), jnp.asarray(counts_np),
-                key_words=key_words_for_window(self.config.window)))
+                key_words=key_words_for_window(self.config.window),
+                key_bits=2 * self.config.window))
         return gram_all_pairs(keys_np, counts_np).astype(np.int32)
 
     def all_pairs_intersections_probe(self, sketches: Sequence[Sketch],

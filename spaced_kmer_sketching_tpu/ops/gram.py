@@ -146,17 +146,26 @@ def gram_all_pairs(keys, counts, *, tile: int = 2048) -> np.ndarray:
 
 def _gram_from_sorted_chunks(sw, sg, g: int, gp: int, chunk: int,
                              binner: int = 32):
-    """sw: 4 x (N,) sorted key words; sg: (N,) genome ids (int32).
+    """sw: kw x (N,) sorted key words; sg: (N,) genome ids (int32).
     Returns (gp, gp) f32 Gram accumulated over N/chunk chunks.
 
     `binner` chunks are processed per scan step as one batched E·S
     dot_general plus a single flattened S^T·T product — a per-chunk scan
     spent most of its time in per-iteration overhead and tiny matmuls.
-    Boundary corrections between consecutive chunks (a key run straddling
-    a boundary contributes a^T a + b^T b instead of (a+b)^T (a+b)) are
-    vectorized across the batch: pa_all[b] = a[b-1] with the scan carry
-    supplying chunk -1, and the missing Σ_b (pa_b b_b^T + b_b pa_b^T) is
-    two rank-B outer-product matmuls."""
+
+    A key run straddling chunk boundaries contributes Σ_parts p^T p
+    instead of (Σ_parts p)^T (Σ_parts p); the missing cross terms are
+    added via a CUMULATIVE open-run carry: P[t] = multi-hot of all
+    earlier-chunk entries of the run open at chunk t's start, updated as
+    P[t+1] = P[t] + a[t] when chunk t is a pure continuation (its last
+    key equals its carried key — sorted order makes the whole chunk one
+    run then) else a[t], where a[t] is chunk t's last-run multi-hot.
+    Every (earlier-parts x this-part) cross product is then P[t] b[t]^T
+    + b[t] P[t]^T with b[t] = this chunk's carried-key prefix multi-hot
+    — counted exactly once however many boundaries the run spans, so
+    `chunk` is NOT constrained by G.  Within a scan step the carry
+    recurrence over the `binner` chunks is a segmented (multiplier in
+    {0,1}) affine prefix scan, log2(binner) rounds over (B, gp) f32."""
     n = sw[0].shape[0]
     kw = len(sw)                       # active key words (<= 4)
     nchunks = n // chunk
@@ -200,24 +209,194 @@ def _gram_from_sorted_chunks(sw, sg, g: int, gp: int, chunk: int,
             eql = eql & (w[q] == lk[q][:, None])
         a = jnp.einsum("bc,bcg->bg", eql.astype(jnp.float32),
                        s.astype(jnp.float32))
-        # previous-chunk key/vector per chunk (carry fills chunk -1)
+        # previous-chunk key per chunk (carry fills chunk -1)
         pk_all = [jnp.concatenate([pk[q][None], lk[q][:-1]])
                   for q in range(kw)]
-        pa_all = jnp.concatenate([pa[None], a[:-1]], axis=0)   # (B, Gp)
         eqp = valid
         for q in range(kw):
             eqp = eqp & (w[q] == pk_all[q][:, None])
         b = jnp.einsum("bc,bcg->bg", eqp.astype(jnp.float32),
                        s.astype(jnp.float32))                  # (B, Gp)
-        corr = jnp.dot(pa_all.T, b)                            # (Gp, Gp)
+        # cumulative open-run carry P_all[b] via segmented prefix scan:
+        # P_all[b] = cont[b-1] ? P_all[b-1] + a[b-1] : a[b-1], P_all[0]=pa,
+        # cont[b] = (lk[b] == pk_all[b]) — chunk b purely continues a run
+        cont = jnp.ones((binner,), jnp.bool_)
+        for q in range(kw):
+            cont = cont & (lk[q] == pk_all[q])
+        xv = jnp.concatenate([pa[None], a[:-1]], axis=0)       # (B, Gp)
+        fv = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                              cont[:-1].astype(jnp.float32)])  # (B,)
+        d = 1
+        while d < binner:
+            xs_ = jnp.concatenate([jnp.zeros((d, gp), jnp.float32),
+                                   xv[:-d]], axis=0)
+            fs_ = jnp.concatenate([jnp.zeros((d,), jnp.float32), fv[:-d]])
+            xv = xv + fv[:, None] * xs_
+            fv = fv * fs_
+            d *= 2
+        p_all = xv                                             # (B, Gp)
+        corr = jnp.dot(p_all.T, b)                             # (Gp, Gp)
         acc = acc + corr + corr.T
-        return (acc, [lk[q][-1] for q in range(kw)], a[-1]), None
+        p_out = jnp.where(cont[-1], p_all[-1] + a[-1], a[-1])
+        return (acc, [lk[q][-1] for q in range(kw)], p_out), None
 
     acc0 = jnp.zeros((gp, gp), jnp.float32)
     pk0 = [jnp.full((), 0xFFFFFFFF, jnp.uint32) for _ in range(kw)]
     pa0 = jnp.zeros((gp,), jnp.float32)
     (acc, _, _), _ = lax.scan(body, (acc0, pk0, pa0), xs)
     return acc
+
+
+# --- packed (key, gid) planes ---------------------------------------------
+#
+# The merge sort's cost is linear in the number of planes it carries, and
+# canonical masked keys only occupy 2*window bits (utils/masks.py), so the
+# genome id rides INSIDE the key words instead of as a separate tag plane:
+#   packed = (key << gidbits) | gid
+# over pw = ceil((key_bits + gidbits + 1) / 32) uint32 words.  The +1 is a
+# guard bit: every valid packed value has the top bit of its top word clear,
+# while sentinel rows are forced to all-ones in every word — validity is a
+# single top-bit test, key equality is packed equality with the low gidbits
+# of word 0 masked off, and the gid is word 0's low bits.  Equal keys sort
+# by gid within a run, which is irrelevant for the Gram scan.  (This also
+# retires the all-ones/poly-T sentinel collision edge case of the old
+# 4-word layout: an all-ones VALID key still has its guard bit clear.)
+
+
+def pack_plan(key_bits: int, gidbits: int) -> int:
+    """Packed word count pw for key_bits-bit keys + gidbits-bit gids."""
+    return (key_bits + gidbits + 1 + 31) // 32
+
+
+def _pack_gid_planes(keys, gid, key_bits: int, gidbits: int, pw: int):
+    """keys (..., cap, >= kw_in) uint32 little-endian key words (sorted
+    unique per sketch, all-ones sentinel padding), gid (..., cap) uint32 —
+    returns pw planes (..., cap) of (key << gidbits) | gid, sentinels
+    forced to all-ones in every word."""
+    kw_in = (key_bits + 31) // 32
+    s = gidbits
+    assert 0 < s < 32
+    sent = keys[..., 0] == jnp.uint32(0xFFFFFFFF)
+    for q in range(1, kw_in):
+        sent = sent & (keys[..., q] == jnp.uint32(0xFFFFFFFF))
+    ones = jnp.uint32(0xFFFFFFFF)
+    planes = []
+    for q in range(pw):
+        hi = keys[..., q] << s if q < kw_in else jnp.zeros_like(gid)
+        lo = (keys[..., q - 1] >> (32 - s)) if 0 < q <= kw_in else (
+            gid if q == 0 else jnp.zeros_like(gid))
+        planes.append(jnp.where(sent, ones, hi | lo))
+    return planes
+
+
+def _gram_chunks_packed(sw, gidbits: int, gp: int, chunk: int,
+                        binner: int = 32, split: int | None = None):
+    """Gram accumulation over a SORTED packed (key, gid) stream.
+
+    sw: pw x (N,) sorted packed words (see _pack_gid_planes).  Returns the
+    (gp, gp) f32 Gram, or with split = r the (r, gp - r) RECT part only —
+    rows are gids < r, columns gids >= r — at a quarter of the S^T·T matmul
+    work (the blocked schedule's macro-tiles only need the rect part).
+
+    Same chunking/carry scheme as _gram_from_sorted_chunks (cumulative
+    open-run carry, segmented prefix over the binner batch), but validity,
+    key equality and gid all come from the packed words: valid = guard bit
+    clear, key equality = packed equality with gid bits masked, gid = low
+    bits of word 0."""
+    n = sw[0].shape[0]
+    pw = len(sw)
+    nchunks = n // chunk
+    binner = max(1, min(binner, nchunks))
+    while nchunks % binner:
+        binner -= 1
+    outer = nchunks // binner
+    xs = [w.reshape(outer, binner, chunk) for w in sw]
+
+    gmask = jnp.uint32((1 << gidbits) - 1)
+    gids = jnp.arange(gp, dtype=jnp.int32)
+    r = gp if split is None else split
+    c0 = 0 if split is None else split
+
+    def body(carry, x):
+        acc, pk, pa = carry            # pk: pw x () u32, pa: (gp,) f32
+        valid = (x[pw - 1] >> 31) == 0               # guard bit (B, C)
+        kf = [x[0] & ~gmask] + [x[q] for q in range(1, pw)]
+        gid = (x[0] & gmask).astype(jnp.int32)
+        # S: one-hot genome rows, zeroed for sentinel entries   (B, C, gp)
+        s = ((gid[:, :, None] == gids[None, None, :]) & valid[:, :, None]) \
+            .astype(jnp.bfloat16)
+        # E: key-equality indicator within each chunk           (B, C, C)
+        eq = jnp.ones((binner, chunk, chunk), jnp.bool_)
+        for q in range(pw):
+            eq = eq & (kf[q][:, :, None] == kf[q][:, None, :])
+        e = eq.astype(jnp.bfloat16)
+        sc = s[:, :, c0:]
+        t = lax.dot_general(e, sc, (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(s[:, :, :r].reshape(binner * chunk, r).T,
+                            t.reshape(binner * chunk, gp - c0)
+                            .astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        # per-chunk last key + its genome vector a              (B, gp)
+        lk = [kf[q][:, -1] for q in range(pw)]
+        eql = valid
+        for q in range(pw):
+            eql = eql & (kf[q] == lk[q][:, None])
+        a = jnp.einsum("bc,bcg->bg", eql.astype(jnp.float32),
+                       s.astype(jnp.float32))
+        pk_all = [jnp.concatenate([pk[q][None], lk[q][:-1]])
+                  for q in range(pw)]
+        eqp = valid
+        for q in range(pw):
+            eqp = eqp & (kf[q] == pk_all[q][:, None])
+        b = jnp.einsum("bc,bcg->bg", eqp.astype(jnp.float32),
+                       s.astype(jnp.float32))                  # (B, gp)
+        # cumulative open-run carry (segmented affine prefix, see
+        # _gram_from_sorted_chunks)
+        cont = jnp.ones((binner,), jnp.bool_)
+        for q in range(pw):
+            cont = cont & (lk[q] == pk_all[q])
+        xv = jnp.concatenate([pa[None], a[:-1]], axis=0)       # (B, gp)
+        fv = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                              cont[:-1].astype(jnp.float32)])  # (B,)
+        d = 1
+        while d < binner:
+            xs_ = jnp.concatenate([jnp.zeros((d, gp), jnp.float32),
+                                   xv[:-d]], axis=0)
+            fs_ = jnp.concatenate([jnp.zeros((d,), jnp.float32), fv[:-d]])
+            xv = xv + fv[:, None] * xs_
+            fv = fv * fs_
+            d *= 2
+        p_all = xv                                             # (B, gp)
+        if split is None:
+            corr = jnp.dot(p_all.T, b)                         # (gp, gp)
+            acc = acc + corr + corr.T
+        else:
+            acc = acc + jnp.dot(p_all[:, :r].T, b[:, c0:]) \
+                      + jnp.dot(b[:, :r].T, p_all[:, c0:])
+        p_out = jnp.where(cont[-1], p_all[-1] + a[-1], a[-1])
+        return (acc, [lk[q][-1] for q in range(pw)], p_out), None
+
+    acc0 = jnp.zeros((r, gp - c0), jnp.float32)
+    pk0 = [jnp.full((), 0xFFFFFFFF, jnp.uint32) for _ in range(pw)]
+    pa0 = jnp.zeros((gp,), jnp.float32)
+    (acc, _, _), _ = lax.scan(body, (acc0, pk0, pa0), xs)
+    return acc
+
+
+def _sort_packed(planes, run_rows: int, interpret: bool):
+    """Sort packed planes whose run_rows-row runs are pre-sorted: Pallas
+    merge tree on TPU/interpret, one lax.sort elsewhere."""
+    from .pallas.sort import merge_sorted_runs
+
+    pw = len(planes)
+    if jax.default_backend() != "tpu" and not interpret:
+        n = planes[0].shape[0] * planes[0].shape[1]
+        flat = [p.reshape(n) for p in planes]
+        srt = lax.sort(tuple(flat[::-1]), num_keys=pw)
+        return [s.reshape(planes[0].shape) for s in srt[::-1]]
+    return merge_sorted_runs(planes, run_rows, interpret=interpret,
+                             nkeys=pw)
 
 
 def key_words_for_window(window: int) -> int:
@@ -232,49 +411,53 @@ def key_words_for_window(window: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "key_words",
-                                             "interpret"))
+                                             "key_bits", "interpret"))
 def gram_rect_ondevice(keys_r, counts_r, keys_c, counts_c, *,
                        chunk: int | None = None, key_words: int = 4,
+                       key_bits: int | None = None,
                        interpret: bool = False):
-    """One-dispatch macro-tile for the blocked all-pairs schedule: stacks
-    the row and column blocks ON DEVICE and returns the full
-    (R+C, R+C) on-device Gram — callers slice [:R, R:] for the rect tile
-    and its transpose for the mirror (host-side concatenation re-uploaded
-    both blocks per tile and the eager concat added dispatch round-trips;
-    the tunnel charges ~17 ms per dispatch)."""
+    """One-dispatch macro-tile: stacks the row and column blocks ON DEVICE
+    and returns the full (R+C, R+C) on-device Gram — callers slice
+    [:R, R:] for the rect tile and its transpose for the mirror.
+    Superseded on the hot path by the cached presort_block_packed +
+    gram_pair_tiles schedule (parallel/allpairs.py); kept as the
+    arbitrary-shape fallback."""
     keys = jnp.concatenate([keys_r, keys_c])
     counts = jnp.concatenate([counts_r, counts_c])
     return gram_all_pairs_ondevice(keys, counts, chunk=chunk,
-                                   key_words=key_words, interpret=interpret)
+                                   key_words=key_words, key_bits=key_bits,
+                                   interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "key_words",
+                                             "key_bits", "binner",
                                              "interpret"))
 def gram_all_pairs_ondevice(keys, counts, *, chunk: int | None = None,
-                            key_words: int = 4, interpret: bool = False):
+                            key_words: int = 4, key_bits: int | None = None,
+                            binner: int = 32, interpret: bool = False):
     """Exact (G, G) int32 all-pairs intersection matrix, computed without
     any host round-trip: keys (G, cap, W) uint32 device sketches (sorted
     unique, sentinel padded — SketchBatch.keys layout; W >= key_words, so
     callers may upload only the low key-word planes), counts (G,).
 
-    Requires chunk >= G (one key contributes at most G entries, so a run
-    spans at most one chunk boundary) and a multiple of LANES; the default
-    picks the smallest legal chunk — the E-matrix work is O(N * chunk), so
-    smaller is strictly cheaper.  Pads genomes to gp = ceil128(G) for the
-    MXU.
+    The genome id is PACKED into the key words' spare low bits
+    (_pack_gid_planes) — the merge sort carries pw = ceil((key_bits +
+    gidbits + 1)/32) planes instead of key_words + 1, and the chunked
+    S^T E S scan (cumulative open-run carry, so chunk is NOT constrained
+    by G) reads validity/equality/gid straight from the packed words.
 
-    key_words: how many low uint32 words the sort/scan must carry —
-    callers that know the window pass key_words_for_window(window) (words
-    above bit 2*window are zero for every valid key, and the guard bit
-    keeps the sentinel distinguishable), cutting merge-sort traffic and
-    comparator work by up to 40%."""
-    from .pallas.sort import LANES, merge_sorted_runs
+    key_bits: how many low key bits can be nonzero for valid keys —
+    callers that know the window pass 2*window (spaced-seed masks set no
+    bits past that, utils/masks.py); defaults to 32*key_words.  Pads
+    genomes to gp = ceil128(G) for the MXU."""
+    from .pallas.sort import LANES
 
     g, cap, _ = keys.shape
-    kw = key_words
+    if key_bits is None:
+        key_bits = 32 * key_words
+    assert key_bits <= 32 * keys.shape[2]
     if chunk is None:
-        chunk = max(LANES, -(-g // LANES) * LANES)
-    assert chunk >= g, "chunk must be >= G (one entry per key per sketch)"
+        chunk = LANES
     assert chunk % LANES == 0
     gp = max(LANES, -(-g // LANES) * LANES)
 
@@ -285,29 +468,103 @@ def gram_all_pairs_ondevice(keys, counts, *, chunk: int | None = None,
         pad = jnp.full((g2 - g, cap, keys.shape[2]), 0xFFFFFFFF, jnp.uint32)
         keys = jnp.concatenate([keys, pad], axis=0)
     n = g2 * cap
+    gidbits = max(1, (g2 - 1).bit_length())
+    pw = pack_plan(key_bits, gidbits)
 
     gid = jnp.broadcast_to(jnp.arange(g2, dtype=jnp.uint32)[:, None],
                            (g2, cap))
-    planes = [keys[:, :, q].reshape(n // LANES, LANES) for q in range(kw)]
-    planes.append(gid.reshape(n // LANES, LANES))
-
-    run_rows = cap // LANES
-    if jax.default_backend() != "tpu" and not interpret:
-        # XLA fallback: one lax.sort (non-TPU backends)
-        flat = [p.reshape(n) for p in planes]
-        srt = lax.sort(tuple(flat[:kw][::-1]) + (flat[kw],), num_keys=kw)
-        sw = list(srt[:kw][::-1])
-        sg = srt[kw]
-    else:
-        merged = merge_sorted_runs(planes, run_rows, interpret=interpret,
-                                   nkeys=kw)
-        sw = [p.reshape(n) for p in merged[:kw]]
-        sg = merged[kw].reshape(n)
+    kw_in = (key_bits + 31) // 32
+    planes = _pack_gid_planes(keys[:, :, :kw_in], gid, key_bits, gidbits, pw)
+    planes = [p.reshape(n // LANES, LANES) for p in planes]
+    merged = _sort_packed(planes, cap // LANES, interpret)
+    sw = [p.reshape(n) for p in merged]
 
     npad = -n % chunk
     if npad:
         sw = [jnp.concatenate([w, jnp.full((npad,), 0xFFFFFFFF, jnp.uint32)])
               for w in sw]
-        sg = jnp.concatenate([sg, jnp.zeros((npad,), jnp.uint32)])
-    acc = _gram_from_sorted_chunks(sw, sg.astype(jnp.int32), g, gp, chunk)
+    acc = _gram_chunks_packed(sw, gidbits, gp, chunk, binner=binner)
     return acc[:g, :g].astype(jnp.int32)
+
+
+# --- block-cache programs for the blocked all-pairs schedule ---------------
+#
+# The blocked 10k-genome sweep (parallel/allpairs.blocked_all_pairs) was
+# re-sorting both blocks from scratch inside every macro-tile and paying a
+# dispatch round-trip per tile through the TPU tunnel.  These programs
+# restructure it: every block's (key, gid) stream is packed + merge-sorted
+# ONCE (presort_block_packed) into a device-resident cache, and macro-tiles
+# are then batched MANY per dispatch (gram_pair_tiles) — each tile is one
+# bitonic pair-merge of two pre-sorted streams (a single merge round
+# instead of the full tree) plus the rect-split chunk scan.
+
+
+@functools.partial(jax.jit, static_argnames=("key_bits", "gidbits", "pw",
+                                             "interpret"))
+def presort_block_packed(keys, *, key_bits: int, gidbits: int, pw: int,
+                         interpret: bool = False):
+    """keys (blk, cap, >= ceil(key_bits/32)) uint32 sorted-unique sketches
+    (sentinel padded; blk a power of two) -> (pw, blk*cap/128, 128) sorted
+    packed planes with LOCAL gids [0, blk)."""
+    from .pallas.sort import LANES
+
+    blk, cap = keys.shape[:2]
+    assert blk & (blk - 1) == 0, "block must be a power of two"
+    n = blk * cap
+    gid = jnp.broadcast_to(jnp.arange(blk, dtype=jnp.uint32)[:, None],
+                           (blk, cap))
+    kw_in = (key_bits + 31) // 32
+    planes = _pack_gid_planes(keys[:, :, :kw_in], gid, key_bits, gidbits, pw)
+    planes = [p.reshape(n // LANES, LANES) for p in planes]
+    return jnp.stack(_sort_packed(planes, cap // LANES, interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("block", "gidbits", "chunk",
+                                             "binner", "interpret"))
+def gram_pair_tiles(cache, ii, jj, *, block: int, gidbits: int,
+                    chunk: int = 128, binner: int = 32,
+                    interpret: bool = False):
+    """Batched macro-tiles: cache (nb, pw, rows, 128) per-block sorted
+    packed planes (presort_block_packed), ii/jj (P,) int32 block indices
+    with ii <= jj -> (P, block, block) int32 rect intersection tiles
+    (rows = block ii's genomes, cols = block jj's).  ii == jj yields the
+    full symmetric diagonal tile.  One dispatch covers all P tiles — a
+    lax.scan whose body merges the two sorted streams (one bitonic merge
+    round) and runs the rect-split chunk scan; per-tile dispatch latency
+    through the TPU tunnel dominated the old per-tile schedule.
+
+    block must be a multiple of 128 (the rect one-hot width is 2*block on
+    the MXU lane grid) and gidbits must cover 2*block (the jj side's gids
+    are offset by +block inside the packed gid field)."""
+    from .pallas.sort import LANES, merge_sorted_runs
+
+    nb, pw, rows, _ = cache.shape
+    assert block % LANES == 0
+    assert (1 << gidbits) >= 2 * block
+    n = 2 * rows * LANES
+
+    def body(_, ij):
+        i, j = ij[0], ij[1]
+        pi = lax.dynamic_slice(cache, (i, 0, 0, 0), (1, pw, rows, LANES))[0]
+        pj = lax.dynamic_slice(cache, (j, 0, 0, 0), (1, pw, rows, LANES))[0]
+        # offset the jj side's gids by +block (low gid field of word 0;
+        # no carry: local gid < block <= 2^(gidbits-1)).  Sentinels stay
+        # all-ones (their guard bit is set).
+        validj = (pj[pw - 1] >> 31) == 0
+        pj0 = pj[0] + jnp.where(validj, jnp.uint32(block), jnp.uint32(0))
+        planes = [jnp.concatenate(
+            [pi[q], pj0 if q == 0 else pj[q]], axis=0) for q in range(pw)]
+        if jax.default_backend() != "tpu" and not interpret:
+            flat = [p.reshape(n) for p in planes]
+            srt = lax.sort(tuple(flat[::-1]), num_keys=pw)
+            sw = list(srt[::-1])
+        else:
+            merged = merge_sorted_runs(planes, rows, interpret=interpret,
+                                       nkeys=pw)
+            sw = [p.reshape(n) for p in merged]
+        acc = _gram_chunks_packed(sw, gidbits, 2 * block, chunk,
+                                  binner=binner, split=block)
+        return None, acc.astype(jnp.int32)
+
+    _, tiles = lax.scan(body, None, jnp.stack([ii, jj], axis=1))
+    return tiles

@@ -53,7 +53,8 @@ def sharded_all_pairs_rect_fn(mesh: Mesh):
 
 
 def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
-                      out=None, engine: str = "auto", key_words: int = 4):
+                      out=None, engine: str = "auto", key_words: int = 4,
+                      key_bits: int | None = None, pair_batch: int = 256):
     """Memory-bounded all-pairs schedule for genome counts whose stacked
     sketches exceed device memory: the (G, G) matrix is computed in
     (block x block) macro-tiles.  `keys` may be a numpy array or a callable
@@ -88,6 +89,16 @@ def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
         engine = "gram" if jax.default_backend() == "tpu" else "probe"
     out = out if out is not None else np.zeros((g, g), np.int32)
     nb = (g + block - 1) // block
+    if (engine == "gram" and block % 128 == 0
+            and block & (block - 1) == 0):
+        # block-cache schedule: presort each block ONCE into a
+        # device-resident packed cache, then batch many macro-tiles per
+        # dispatch — per-tile dispatch latency through the TPU tunnel
+        # dominated the per-tile schedule below
+        devs = list(mesh.devices.flat) if mesh is not None else [None]
+        kb = key_bits if key_bits is not None else 32 * key_words
+        return _gram_blocked_cached(provider, g, block, out, devs, kb,
+                                    pair_batch)
     if engine == "gram":
         # pair-level data parallelism, the reference's cilk_for over pairs
         # (src/kmer_set.cpp:179): macro-tiles are independent, so they
@@ -174,6 +185,69 @@ def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
             kcol, ccol = (dk_r, dc_r) if bj == bi else provider(c0, c1)
             tile = fn(dk_r, dc_r, jnp.asarray(kcol), jnp.asarray(ccol))
             out[r0:r1, c0:c1] = np.asarray(tile)
+    return out
+
+
+def _gram_blocked_cached(provider, g: int, block: int, out, devs,
+                         key_bits: int, pair_batch: int):
+    """Block-cache gram schedule (ops/gram.presort_block_packed +
+    gram_pair_tiles): every block's (key, gid) stream is packed and
+    merge-sorted ONCE into a device-resident cache; the upper triangle of
+    macro-tiles is then computed in pair_batch-sized batches, ONE dispatch
+    each (a lax.scan over tiles — each is a single bitonic pair-merge of
+    two pre-sorted streams plus the rect-split chunk scan).  Pair-level
+    data parallelism (the reference's cilk_for over pairs,
+    src/kmer_set.cpp:179) maps to batches round-robining over the mesh
+    devices, each holding its own cache replica."""
+    import numpy as np
+
+    nb = (g + block - 1) // block
+    gidbits = max(1, (2 * block - 1).bit_length())
+    from ..ops.gram import gram_pair_tiles, pack_plan, presort_block_packed
+    pw = pack_plan(key_bits, gidbits)
+    kw_in = max(1, (key_bits + 31) // 32)
+
+    caches = []
+    for d in devs:
+        pre = []
+        for b in range(nb):
+            i0, i1 = b * block, min(g, (b + 1) * block)
+            kb, _ = provider(i0, i1)
+            kb = np.ascontiguousarray(np.asarray(kb)[:, :, :kw_in])
+            if kb.shape[0] < block:         # ragged tail: sentinel sketches
+                pad = np.full((block - kb.shape[0],) + kb.shape[1:],
+                              0xFFFFFFFF, np.uint32)
+                kb = np.concatenate([kb, pad])
+            kd = jnp.asarray(kb)
+            if d is not None:
+                kd = jax.device_put(kd, d)
+            pre.append(presort_block_packed(kd, key_bits=key_bits,
+                                            gidbits=gidbits, pw=pw))
+        caches.append(jnp.stack(pre))
+
+    pairs = [(i, j) for i in range(nb) for j in range(i, nb)]
+    pb = min(pair_batch, len(pairs))
+    pend = []
+    for k in range(0, len(pairs), pb):
+        chunk_pairs = pairs[k:k + pb]
+        arr = np.array(chunk_pairs + [(0, 0)] * (pb - len(chunk_pairs)),
+                       np.int32).reshape(pb, 2)
+        di = (k // pb) % len(devs)
+        ii, jj = jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1])
+        if devs[di] is not None:
+            ii = jax.device_put(ii, devs[di])
+            jj = jax.device_put(jj, devs[di])
+        pend.append((chunk_pairs, gram_pair_tiles(
+            caches[di], ii, jj, block=block, gidbits=gidbits)))
+    for chunk_pairs, dt in pend:
+        tiles = np.asarray(dt)
+        for p, (bi, bj) in enumerate(chunk_pairs):
+            r0, r1 = bi * block, min(g, (bi + 1) * block)
+            c0, c1 = bj * block, min(g, (bj + 1) * block)
+            t = tiles[p]
+            out[r0:r1, c0:c1] = t[:r1 - r0, :c1 - c0]
+            if bj != bi:
+                out[c0:c1, r0:r1] = t[:r1 - r0, :c1 - c0].T
     return out
 
 

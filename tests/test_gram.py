@@ -249,3 +249,104 @@ def test_gram_ondevice_xla_fallback():
         for j in range(g):
             assert mat[i, j] == len(sets[i] & sets[j]), (i, j)
     assert np.array_equal(np.diag(mat), counts)
+
+
+def test_gram_ondevice_chunk_below_g():
+    """chunk < G: a key shared by EVERY genome makes runs span multiple
+    chunk boundaries — the cumulative open-run carry must count every
+    cross-chunk pair exactly once (the old scheme required chunk >= G)."""
+    import jax
+    from spaced_kmer_sketching_tpu.ops.gram import gram_all_pairs_ondevice
+
+    rng = np.random.default_rng(51)
+    g, cap = 160, 128                   # g > chunk = 128
+    keys, counts, sets = make_sketches(rng, g, cap, shared=100, priv=20)
+    mat = np.asarray(gram_all_pairs_ondevice(
+        jax.numpy.asarray(keys), jax.numpy.asarray(counts), chunk=128))
+    rs = rng.integers(0, g, size=(64, 2))
+    for i, j in rs:
+        assert mat[i, j] == len(sets[i] & sets[j]), (i, j)
+    assert np.array_equal(np.diag(mat), counts.astype(np.int64))
+    assert np.array_equal(mat, mat.T)
+
+
+def test_gram_ondevice_key_bits_packing():
+    """key_bits packing: gids ride inside the key words' spare low bits.
+    40-bit keys (the w=20 sweep geometry) pack with an 8-genome gid into
+    2 planes; results must match the default path and python sets."""
+    import jax
+    from spaced_kmer_sketching_tpu.ops.gram import (gram_all_pairs_ondevice,
+                                                    pack_plan)
+
+    assert pack_plan(40, 3) == 2
+    assert pack_plan(40, 24) == 3
+    assert pack_plan(54, 9) == 2
+    assert pack_plan(128, 10) == 5
+
+    rng = np.random.default_rng(61)
+    g, cap = 8, 128
+    keys, counts, sets = make_sketches(rng, g, cap, shared=60, priv=30)
+    m = np.arange(cap)[None, :] < counts[:, None]
+    keys[:, :, 1] = np.where(m, keys[:, :, 1] & 0xFF, keys[:, :, 1])
+    sets = []
+    for i in range(g):
+        c = counts[i]
+        u = np.unique(keys[i, :c, 0].astype(np.uint64)
+                      | (keys[i, :c, 1].astype(np.uint64) << 32))
+        keys[i, :u.size, 0] = (u & 0xFFFFFFFF).astype(np.uint32)
+        keys[i, :u.size, 1] = (u >> 32).astype(np.uint32)
+        keys[i, :u.size, 2:] = 0
+        keys[i, u.size:] = 0xFFFFFFFF
+        counts[i] = u.size
+        sets.append(set(u.tolist()))
+    packed = np.asarray(gram_all_pairs_ondevice(
+        jax.numpy.asarray(keys), jax.numpy.asarray(counts), chunk=128,
+        key_words=2, key_bits=40, interpret=True))
+    dflt = np.asarray(gram_all_pairs_ondevice(
+        jax.numpy.asarray(keys), jax.numpy.asarray(counts), chunk=128,
+        key_words=2, interpret=True))
+    np.testing.assert_array_equal(packed, dflt)
+    for i in range(g):
+        for j in range(g):
+            assert packed[i, j] == len(sets[i] & sets[j]), (i, j)
+
+
+@pytest.mark.parametrize("interpret", [True, False])
+def test_gram_pair_tiles_matches_sets(interpret):
+    """Block-cache schedule: presort each block once, then batched rect
+    macro-tiles from the cache — vs python sets, incl. the diagonal tile
+    (ii == jj) and empty sketches."""
+    import jax
+    import jax.numpy as jnp
+    from spaced_kmer_sketching_tpu.ops.gram import (gram_pair_tiles,
+                                                    pack_plan,
+                                                    presort_block_packed)
+
+    rng = np.random.default_rng(71)
+    blk, cap, nb = 128, 128, 3
+    g = nb * blk
+    keys, counts, sets = make_sketches(rng, g, cap, shared=80, priv=30)
+    counts[5] = 0                         # empty sketch in block 0
+    keys[5] = 0xFFFFFFFF
+    sets[5] = set()
+    key_bits, gidbits = 62, 9             # 2*blk = 256 needs 9 bits
+    pw = pack_plan(key_bits, gidbits)
+    cache = jnp.stack([
+        presort_block_packed(jnp.asarray(keys[b * blk:(b + 1) * blk]),
+                             key_bits=key_bits, gidbits=gidbits, pw=pw,
+                             interpret=interpret)
+        for b in range(nb)])
+    ii = jnp.asarray([0, 0, 1, 0, 2], jnp.int32)
+    jj = jnp.asarray([1, 2, 2, 0, 2], jnp.int32)
+    tiles = np.asarray(gram_pair_tiles(cache, ii, jj, block=blk,
+                                       gidbits=gidbits,
+                                       interpret=interpret))
+    rs = rng.integers(0, blk, size=(40, 2))
+    for p, (bi, bj) in enumerate(zip([0, 0, 1, 0, 2], [1, 2, 2, 0, 2])):
+        for a, b in rs:
+            i, j = bi * blk + a, bj * blk + b
+            assert tiles[p, a, b] == len(sets[i] & sets[j]), (p, i, j)
+    # diagonal tile is symmetric with counts on the diagonal
+    np.testing.assert_array_equal(
+        np.diag(tiles[3]), counts[:blk].astype(np.int32))
+    np.testing.assert_array_equal(tiles[3], tiles[3].T)

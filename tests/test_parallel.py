@@ -344,3 +344,33 @@ def test_mesh_sketcher_all_pairs_gram_matches_probe(tmp_path, genomes):
     single = FracMinHashSketcher(cfg).all_pairs_intersections(sketches)
     np.testing.assert_array_equal(got, probe)
     np.testing.assert_array_equal(got, single)
+
+
+def test_blocked_all_pairs_cached_schedule():
+    """The block-cache gram schedule (128-multiple power-of-two blocks:
+    presorted packed cache + batched pair-tile dispatches) must agree with
+    the probe engine, including a ragged tail block and multiple pair
+    batches."""
+    import jax
+    from spaced_kmer_sketching_tpu.ops.intersect import intersection_tile
+    from spaced_kmer_sketching_tpu.parallel.allpairs import blocked_all_pairs
+    from spaced_kmer_sketching_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(77)
+    g, cap = 300, 128                      # nb = 3, tail block of 44
+    pool = np.arange(1, 4000, dtype=np.uint32) * 7919
+    keys = np.full((g, cap, 4), 0xFFFFFFFF, np.uint32)
+    counts = np.zeros(g, np.int32)
+    for i in range(g):
+        vals = np.unique(rng.choice(pool, 100))
+        keys[i, :vals.size, 0] = vals
+        keys[i, :vals.size, 1:] = 0
+        counts[i] = vals.size
+    mesh = make_mesh(devices=jax.devices()[:2])
+    want = np.asarray(intersection_tile(jnp.asarray(keys),
+                                        jnp.asarray(counts),
+                                        jnp.asarray(keys),
+                                        jnp.asarray(counts)))
+    got = blocked_all_pairs(mesh, keys, counts, block=128, engine="gram",
+                            key_words=2, key_bits=45, pair_batch=2)
+    np.testing.assert_array_equal(got, want)
