@@ -514,13 +514,24 @@ class FracMinHashSketcher:
         for i, s in enumerate(sketches):
             keys_np[i, :s.count] = s.keys
             counts_np[i] = s.count
-        if (jax.default_backend() == "tpu" and g <= 2048
+        if (jax.default_backend() == "tpu"
                 and cap >= 128 and cap % 128 == 0):
             import jax.numpy as jnp
-            return np.asarray(gram_all_pairs_ondevice(
-                jnp.asarray(keys_np), jnp.asarray(counts_np),
+            if g <= 2048:
+                return np.asarray(gram_all_pairs_ondevice(
+                    jnp.asarray(keys_np), jnp.asarray(counts_np),
+                    key_words=key_words_for_window(self.config.window),
+                    key_bits=2 * self.config.window))
+            # larger collections: the memory-bounded block-cache schedule
+            # (BASELINE config 4 — presorted device cache + batched
+            # macro-tile dispatches), instead of the host layout build
+            from ..parallel.allpairs import blocked_all_pairs
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh(devices=jax.devices())
+            return blocked_all_pairs(
+                mesh, keys_np, counts_np, block=128,
                 key_words=key_words_for_window(self.config.window),
-                key_bits=2 * self.config.window))
+                key_bits=2 * self.config.window)
         return gram_all_pairs(keys_np, counts_np).astype(np.int32)
 
     def all_pairs_intersections_probe(self, sketches: Sequence[Sketch],

@@ -29,6 +29,7 @@ union of one genome block pair.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import numpy as np
 
@@ -137,114 +138,10 @@ def gram_all_pairs(keys, counts, *, tile: int = 2048) -> np.ndarray:
 #               the sort, but E needs no rank bookkeeping at all),
 # so intersections accumulate as two MXU matmuls per chunk — 0/1 values
 # are exact in bfloat16 and counts < 2^24 are exact in the f32
-# accumulator.  A key whose run straddles a chunk boundary contributes
-# a^T a + b^T b instead of (a+b)^T (a+b); the scan carries the previous
-# chunk's last key and its genome vector `a` and adds the missing
-# a b^T + b a^T (a run can span at most one boundary when C >= G, since a
-# key appears at most once per sketch).
-
-
-def _gram_from_sorted_chunks(sw, sg, g: int, gp: int, chunk: int,
-                             binner: int = 32):
-    """sw: kw x (N,) sorted key words; sg: (N,) genome ids (int32).
-    Returns (gp, gp) f32 Gram accumulated over N/chunk chunks.
-
-    `binner` chunks are processed per scan step as one batched E·S
-    dot_general plus a single flattened S^T·T product — a per-chunk scan
-    spent most of its time in per-iteration overhead and tiny matmuls.
-
-    A key run straddling chunk boundaries contributes Σ_parts p^T p
-    instead of (Σ_parts p)^T (Σ_parts p); the missing cross terms are
-    added via a CUMULATIVE open-run carry: P[t] = multi-hot of all
-    earlier-chunk entries of the run open at chunk t's start, updated as
-    P[t+1] = P[t] + a[t] when chunk t is a pure continuation (its last
-    key equals its carried key — sorted order makes the whole chunk one
-    run then) else a[t], where a[t] is chunk t's last-run multi-hot.
-    Every (earlier-parts x this-part) cross product is then P[t] b[t]^T
-    + b[t] P[t]^T with b[t] = this chunk's carried-key prefix multi-hot
-    — counted exactly once however many boundaries the run spans, so
-    `chunk` is NOT constrained by G.  Within a scan step the carry
-    recurrence over the `binner` chunks is a segmented (multiplier in
-    {0,1}) affine prefix scan, log2(binner) rounds over (B, gp) f32."""
-    n = sw[0].shape[0]
-    kw = len(sw)                       # active key words (<= 4)
-    nchunks = n // chunk
-    binner = max(1, min(binner, nchunks))
-    while nchunks % binner:
-        binner -= 1
-    outer = nchunks // binner
-    xs = [w.reshape(outer, binner, chunk) for w in sw] + [
-        sg.reshape(outer, binner, chunk)]
-
-    sent = jnp.uint32(0xFFFFFFFF)
-    gids = jnp.arange(gp, dtype=jnp.int32)
-
-    def body(carry, x):
-        acc, pk, pa = carry            # pk: kw x () u32, pa: (Gp,) f32
-        w = x[:kw]                     # each (B, C)
-        gid = x[kw].astype(jnp.int32)
-        valid = w[0] != sent
-        for q in range(1, kw):
-            valid = valid | (w[q] != sent)
-        # S: one-hot genome rows, zeroed for sentinel entries   (B, C, Gp)
-        s = ((gid[:, :, None] == gids[None, None, :]) & valid[:, :, None]) \
-            .astype(jnp.bfloat16)
-        # E: key-equality indicator within each chunk           (B, C, C)
-        eq = jnp.ones((binner, chunk, chunk), jnp.bool_)
-        for q in range(kw):
-            eq = eq & (w[q][:, :, None] == w[q][:, None, :])
-        e = eq.astype(jnp.bfloat16)
-        # T[b,c,g] = does genome g hold key_{b,c} in chunk b — 0/1, so
-        # bf16-exact for the second product
-        t = lax.dot_general(e, s, (((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(s.reshape(binner * chunk, gp).T,
-                            t.reshape(binner * chunk, gp)
-                            .astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-        # per-chunk last key + its genome vector a              (B, Gp)
-        lk = [w[q][:, -1] for q in range(kw)]
-        eql = valid
-        for q in range(kw):
-            eql = eql & (w[q] == lk[q][:, None])
-        a = jnp.einsum("bc,bcg->bg", eql.astype(jnp.float32),
-                       s.astype(jnp.float32))
-        # previous-chunk key per chunk (carry fills chunk -1)
-        pk_all = [jnp.concatenate([pk[q][None], lk[q][:-1]])
-                  for q in range(kw)]
-        eqp = valid
-        for q in range(kw):
-            eqp = eqp & (w[q] == pk_all[q][:, None])
-        b = jnp.einsum("bc,bcg->bg", eqp.astype(jnp.float32),
-                       s.astype(jnp.float32))                  # (B, Gp)
-        # cumulative open-run carry P_all[b] via segmented prefix scan:
-        # P_all[b] = cont[b-1] ? P_all[b-1] + a[b-1] : a[b-1], P_all[0]=pa,
-        # cont[b] = (lk[b] == pk_all[b]) — chunk b purely continues a run
-        cont = jnp.ones((binner,), jnp.bool_)
-        for q in range(kw):
-            cont = cont & (lk[q] == pk_all[q])
-        xv = jnp.concatenate([pa[None], a[:-1]], axis=0)       # (B, Gp)
-        fv = jnp.concatenate([jnp.zeros((1,), jnp.float32),
-                              cont[:-1].astype(jnp.float32)])  # (B,)
-        d = 1
-        while d < binner:
-            xs_ = jnp.concatenate([jnp.zeros((d, gp), jnp.float32),
-                                   xv[:-d]], axis=0)
-            fs_ = jnp.concatenate([jnp.zeros((d,), jnp.float32), fv[:-d]])
-            xv = xv + fv[:, None] * xs_
-            fv = fv * fs_
-            d *= 2
-        p_all = xv                                             # (B, Gp)
-        corr = jnp.dot(p_all.T, b)                             # (Gp, Gp)
-        acc = acc + corr + corr.T
-        p_out = jnp.where(cont[-1], p_all[-1] + a[-1], a[-1])
-        return (acc, [lk[q][-1] for q in range(kw)], p_out), None
-
-    acc0 = jnp.zeros((gp, gp), jnp.float32)
-    pk0 = [jnp.full((), 0xFFFFFFFF, jnp.uint32) for _ in range(kw)]
-    pa0 = jnp.zeros((gp,), jnp.float32)
-    (acc, _, _), _ = lax.scan(body, (acc0, pk0, pa0), xs)
-    return acc
+# accumulator.  Key runs straddling chunk boundaries are repaired by a
+# cumulative open-run carry (see _gram_chunks_packed), so the chunk size
+# is a free parameter (128 = one VPU row) rather than being bounded
+# below by G.
 
 
 # --- packed (key, gid) planes ---------------------------------------------
@@ -331,26 +228,30 @@ def _gram_chunks_packed(sw, gidbits: int, gp: int, chunk: int,
             eq = eq & (kf[q][:, :, None] == kf[q][:, None, :])
         e = eq.astype(jnp.bfloat16)
         sc = s[:, :, c0:]
+        # T's 0/1-sum entries are <= chunk=128, exact in bf16 (integers
+        # <= 256) — emitting bf16 halves the dominant HBM temporary
         t = lax.dot_general(e, sc, (((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.bfloat16)
         acc = acc + jnp.dot(s[:, :, :r].reshape(binner * chunk, r).T,
-                            t.reshape(binner * chunk, gp - c0)
-                            .astype(jnp.bfloat16),
+                            t.reshape(binner * chunk, gp - c0),
                             preferred_element_type=jnp.float32)
         # per-chunk last key + its genome vector a              (B, gp)
         lk = [kf[q][:, -1] for q in range(pw)]
         eql = valid
         for q in range(pw):
             eql = eql & (kf[q] == lk[q][:, None])
-        a = jnp.einsum("bc,bcg->bg", eql.astype(jnp.float32),
-                       s.astype(jnp.float32))
         pk_all = [jnp.concatenate([pk[q][None], lk[q][:-1]])
                   for q in range(pw)]
         eqp = valid
         for q in range(pw):
             eqp = eqp & (kf[q] == pk_all[q][:, None])
-        b = jnp.einsum("bc,bcg->bg", eqp.astype(jnp.float32),
-                       s.astype(jnp.float32))                  # (B, gp)
+        # a/b via bf16 batched matvecs (sums <= chunk, bf16-exact): the
+        # f32 einsum formulation materialized S in f32 (~16 MB per step)
+        ab = lax.dot_general(
+            jnp.stack([eql, eqp], axis=1).astype(jnp.bfloat16),  # (B,2,C)
+            s, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)                  # (B,2,gp)
+        a, b = ab[:, 0, :], ab[:, 1, :]
         # cumulative open-run carry (segmented affine prefix, see
         # _gram_from_sorted_chunks)
         cont = jnp.ones((binner,), jnp.bool_)
@@ -499,13 +400,8 @@ def gram_all_pairs_ondevice(keys, counts, *, chunk: int | None = None,
 # instead of the full tree) plus the rect-split chunk scan.
 
 
-@functools.partial(jax.jit, static_argnames=("key_bits", "gidbits", "pw",
-                                             "interpret"))
-def presort_block_packed(keys, *, key_bits: int, gidbits: int, pw: int,
-                         interpret: bool = False):
-    """keys (blk, cap, >= ceil(key_bits/32)) uint32 sorted-unique sketches
-    (sentinel padded; blk a power of two) -> (pw, blk*cap/128, 128) sorted
-    packed planes with LOCAL gids [0, blk)."""
+def _presort_core(keys, key_bits: int, gidbits: int, pw: int,
+                  interpret: bool):
     from .pallas.sort import LANES
 
     blk, cap = keys.shape[:2]
@@ -517,6 +413,35 @@ def presort_block_packed(keys, *, key_bits: int, gidbits: int, pw: int,
     planes = _pack_gid_planes(keys[:, :, :kw_in], gid, key_bits, gidbits, pw)
     planes = [p.reshape(n // LANES, LANES) for p in planes]
     return jnp.stack(_sort_packed(planes, cap // LANES, interpret))
+
+
+@functools.partial(jax.jit, static_argnames=("key_bits", "gidbits", "pw",
+                                             "interpret"))
+def presort_block_packed(keys, *, key_bits: int, gidbits: int, pw: int,
+                         interpret: bool = False):
+    """keys (blk, cap, >= ceil(key_bits/32)) uint32 sorted-unique sketches
+    (sentinel padded; blk a power of two) -> (pw, blk*cap/128, 128) sorted
+    packed planes with LOCAL gids [0, blk)."""
+    return _presort_core(keys, key_bits, gidbits, pw, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "key_bits", "gidbits",
+                                             "pw", "interpret"))
+def presort_blocks_packed(slab, *, block: int, key_bits: int, gidbits: int,
+                          pw: int, interpret: bool = False):
+    """Presort EVERY block of a (nb*block, cap, kw) slab in one dispatch
+    (lax.scan over blocks) -> (nb, pw, block*cap/128, 128) cache.  The
+    slab crosses the host->device boundary as ONE transfer; per-block
+    device_puts paid a round-trip each through the TPU tunnel."""
+    g, cap, kw = slab.shape
+    nb = g // block
+    assert g % block == 0
+
+    def body(_, kb):
+        return None, _presort_core(kb, key_bits, gidbits, pw, interpret)
+
+    _, cache = lax.scan(body, None, slab.reshape(nb, block, cap, kw))
+    return cache
 
 
 @functools.partial(jax.jit, static_argnames=("block", "gidbits", "chunk",
@@ -536,6 +461,7 @@ def gram_pair_tiles(cache, ii, jj, *, block: int, gidbits: int,
     block must be a multiple of 128 (the rect one-hot width is 2*block on
     the MXU lane grid) and gidbits must cover 2*block (the jj side's gids
     are offset by +block inside the packed gid field)."""
+    from .pallas.gram_scan import CB as GRAM_CB
     from .pallas.sort import LANES, merge_sorted_runs
 
     nb, pw, rows, _ = cache.shape
@@ -557,11 +483,27 @@ def gram_pair_tiles(cache, ii, jj, *, block: int, gidbits: int,
         if jax.default_backend() != "tpu" and not interpret:
             flat = [p.reshape(n) for p in planes]
             srt = lax.sort(tuple(flat[::-1]), num_keys=pw)
-            sw = list(srt[::-1])
+            merged = [s.reshape(2 * rows, LANES) for s in srt[::-1]]
+            pallas_ok = False
         else:
             merged = merge_sorted_runs(planes, rows, interpret=interpret,
                                        nkeys=pw)
-            sw = [p.reshape(n) for p in merged]
+            pallas_ok = True
+        if (pallas_ok and (2 * rows) % GRAM_CB == 0 and block <= 512
+                and (interpret
+                     or _os.environ.get("SKS_GRAM_SCAN") == "pallas")):
+            # VMEM-resident scan kernel — EXPERIMENTAL, opt-in via
+            # SKS_GRAM_SCAN=pallas: it compiles and verifies (the
+            # interpret-mode tests run it), but Mosaic lowers the
+            # per-chunk (128, 1) column-slice compares ~60x slower than
+            # the XLA scan on this toolchain (measured 773 ms vs 12.7 ms
+            # per 2M-entry tile), so the bf16 XLA scan below stays the
+            # default hardware path
+            from .pallas.gram_scan import gram_rect_scan
+            acc = gram_rect_scan(merged, gidbits=gidbits, block=block,
+                                 interpret=interpret)
+            return None, acc
+        sw = [p.reshape(n) for p in merged]
         acc = _gram_chunks_packed(sw, gidbits, 2 * block, chunk,
                                   binner=binner, split=block)
         return None, acc.astype(jnp.int32)

@@ -48,10 +48,11 @@ def main():
     import jax.numpy as jnp
     from jax import lax
     from spaced_kmer_sketching_tpu.ops.gram import (
-        _gram_from_sorted_chunks, gram_all_pairs_ondevice)
-    from spaced_kmer_sketching_tpu.ops.pallas.sort import LANES, merge_sorted_runs
+        _gram_chunks_packed, _pack_gid_planes, _sort_packed,
+        gram_all_pairs_ondevice, pack_plan)
+    from spaced_kmer_sketching_tpu.ops.pallas.sort import LANES
 
-    kw = 2
+    kw, key_bits = 2, 40
     for g in (128, 256):
         cap = 8192
         keys_np, counts_np = synth(g, cap)
@@ -59,35 +60,35 @@ def main():
         counts = jnp.asarray(counts_np)
 
         timeit(f"full ondevice G={g}",
-               lambda: gram_all_pairs_ondevice(keys, counts, key_words=kw))
+               lambda: gram_all_pairs_ondevice(keys, counts, key_words=kw,
+                                               key_bits=key_bits))
 
         g2 = 1 << max(0, (g - 1).bit_length())
         n = g2 * cap
+        gidbits = max(1, (g2 - 1).bit_length())
+        pw = pack_plan(key_bits, gidbits)
         gid = jnp.broadcast_to(jnp.arange(g2, dtype=jnp.uint32)[:, None],
                                (g2, cap))
 
         @jax.jit
         def sort_only(keys):
-            planes = [keys[:, :, q].reshape(n // LANES, LANES)
-                      for q in range(kw)]
-            planes.append(gid.reshape(n // LANES, LANES))
-            merged = merge_sorted_runs(planes, cap // LANES, nkeys=kw)
+            planes = _pack_gid_planes(keys, gid, key_bits, gidbits, pw)
+            planes = [p.reshape(n // LANES, LANES) for p in planes]
+            merged = _sort_packed(planes, cap // LANES, False)
             return [p.ravel()[-1] for p in merged]
 
-        timeit(f"merge sort only G={g}", lambda: sort_only(keys))
+        timeit(f"packed merge sort only G={g} (pw={pw})",
+               lambda: sort_only(keys))
 
-        chunk = max(LANES, -(-g // LANES) * LANES)
-        gp = chunk
+        gp = max(LANES, -(-g // LANES) * LANES)
 
         @jax.jit
         def scan_only(keys):
-            planes = [keys[:, :, q].reshape(n // LANES, LANES)
-                      for q in range(kw)]
-            planes.append(gid.reshape(n // LANES, LANES))
-            merged = merge_sorted_runs(planes, cap // LANES, nkeys=kw)
-            sw = [p.reshape(n) for p in merged[:kw]]
-            sg = merged[kw].reshape(n).astype(jnp.int32)
-            acc = _gram_from_sorted_chunks(sw, sg, g, gp, chunk)
+            planes = _pack_gid_planes(keys, gid, key_bits, gidbits, pw)
+            planes = [p.reshape(n // LANES, LANES) for p in planes]
+            merged = _sort_packed(planes, cap // LANES, False)
+            sw = [p.reshape(n) for p in merged]
+            acc = _gram_chunks_packed(sw, gidbits, gp, LANES)
             return acc[0, 0]
 
         timeit(f"sort+scan (no slice) G={g}", lambda: scan_only(keys))
