@@ -31,6 +31,12 @@ def main():
     ap.add_argument("--cap", type=int, default=1024)
     ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--chip-pairs-per-s", type=float, default=None)
+    ap.add_argument("--engine", default="probe",
+                    choices=("probe", "gram"),
+                    help="probe: shard_map rect tiles over the mesh; "
+                         "gram: the round-3 block-cache schedule (per-"
+                         "device presorted caches, pair batches round-"
+                         "robining over devices)")
     args = ap.parse_args()
 
     import jax
@@ -57,9 +63,11 @@ def main():
         if nd > len(devices):
             break
         mesh = make_mesh(devices=devices[:nd])
-        blocked_all_pairs(mesh, keys, counts, block=args.block)  # compile
+        blocked_all_pairs(mesh, keys, counts, block=args.block,
+                          engine=args.engine)  # compile
         t0 = time.perf_counter()
-        out = blocked_all_pairs(mesh, keys, counts, block=args.block)
+        out = blocked_all_pairs(mesh, keys, counts, block=args.block,
+                                engine=args.engine)
         dt = time.perf_counter() - t0
         if ref is None:
             ref = out
