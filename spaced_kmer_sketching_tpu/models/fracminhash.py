@@ -75,6 +75,55 @@ def _bucket_size(n: int, quantum: int = 16384) -> int:
     return 1 << math.ceil(math.log2(n))
 
 
+# --- packed-upload cache ----------------------------------------------------
+# The TPU extract kernel's packed genome planes (ops/pallas/extract.
+# pack_genomes_np) are window- and mask-INDEPENDENT, so a 62-config sweep
+# can reuse one host pack + device upload per genome across every
+# (window, k) experiment — re-uploading ~24 MB per 2M-nt genome per config
+# through the ~45 MB/s TPU tunnel dominated the sweep's sketching phase
+# (measured 2.3 s/config of which device work is ~10 ms).  Keyed by a
+# content digest (sketchers are rebuilt per experiment, so object identity
+# cannot carry the cache); bounded LRU by byte budget, 0 disables.
+import collections as _collections
+import hashlib as _hashlib
+import os as _os2
+
+_UPLOAD_CACHE: "object" = _collections.OrderedDict()
+_UPLOAD_CACHE_BYTES = [0]
+
+
+def _upload_cache_budget() -> int:
+    return int(_os2.environ.get("SKS_UPLOAD_CACHE_BYTES", 2 << 30))
+
+
+def _cached_genome_planes(codes_row: np.ndarray, rid_row: np.ndarray):
+    """Device planes (qc, qr, rid) for ONE genome row, LRU-cached by
+    content digest."""
+    from ..ops.pallas.extract import pack_genomes_np
+
+    budget = _upload_cache_budget()
+    key = None
+    if budget > 0:
+        h = _hashlib.blake2b(digest_size=16)
+        h.update(codes_row.tobytes())
+        h.update(rid_row.tobytes())
+        key = (codes_row.shape[0], h.digest())
+        hit = _UPLOAD_CACHE.get(key)
+        if hit is not None:
+            _UPLOAD_CACHE.move_to_end(key)
+            return hit
+    qc, qr, rid = pack_genomes_np(codes_row[None], rid_row[None])
+    val = (jnp.asarray(qc[0]), jnp.asarray(qr[0]), jnp.asarray(rid[0]))
+    if key is not None:
+        nbytes = sum(int(v.nbytes) for v in val)
+        _UPLOAD_CACHE[key] = val
+        _UPLOAD_CACHE_BYTES[0] += nbytes
+        while _UPLOAD_CACHE_BYTES[0] > budget and len(_UPLOAD_CACHE) > 1:
+            _, old = _UPLOAD_CACHE.popitem(last=False)
+            _UPLOAD_CACHE_BYTES[0] -= sum(int(v.nbytes) for v in old)
+    return val
+
+
 class FracMinHashSketcher:
     """One (window, k) sketching experiment on a single device.
 
@@ -105,9 +154,11 @@ class FracMinHashSketcher:
         from ..ops.sketch import jitted_sketch_batch, jitted_sketch_batch_packed
         g, n = codes.shape
         if jax.default_backend() == "tpu":
-            from ..ops.pallas.extract import pack_genomes_np
-            qc, qr, rid = pack_genomes_np(codes, run_id)
-            args = (jnp.asarray(qc), jnp.asarray(qr), jnp.asarray(rid))
+            # per-genome cached pack+upload (window/mask-independent, so
+            # sweep experiments reuse it); the batch is stacked ON device
+            rows = [_cached_genome_planes(codes[i], run_id[i])
+                    for i in range(g)]
+            args = tuple(jnp.stack([r[j] for r in rows]) for j in range(3))
 
             def make(cap):
                 return jitted_sketch_batch_packed(
@@ -524,10 +575,15 @@ class FracMinHashSketcher:
                     key_bits=2 * self.config.window))
             # larger collections: the memory-bounded block-cache schedule
             # (BASELINE config 4 — presorted device cache + batched
-            # macro-tile dispatches), instead of the host layout build
+            # macro-tile dispatches), instead of the host layout build.
+            # One device: the schedule replicates its cache per device,
+            # and on a single host link the extra slab uploads cost more
+            # than the parallel tiles recoup (BASELINE_RESULTS.md phase
+            # split); multi-chip users call blocked_all_pairs with their
+            # mesh directly.
             from ..parallel.allpairs import blocked_all_pairs
             from ..parallel.mesh import make_mesh
-            mesh = make_mesh(devices=jax.devices())
+            mesh = make_mesh(devices=jax.devices()[:1])
             return blocked_all_pairs(
                 mesh, keys_np, counts_np, block=128,
                 key_words=key_words_for_window(self.config.window),

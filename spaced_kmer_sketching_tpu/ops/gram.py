@@ -165,16 +165,35 @@ def pack_plan(key_bits: int, gidbits: int) -> int:
     return (key_bits + gidbits + 1 + 31) // 32
 
 
+def _guard_words(key_bits: int) -> int:
+    """Input key words needed for unambiguous sentinel detection: the
+    kw_in packed words, plus the guard word above them when key_bits is
+    an exact word multiple (a valid key could then be all-ones in every
+    packed word; its guard word is all-zero, the sentinel's all-ones).
+    Capped at 4 (the full key layout — at key_bits=128 the all-ones
+    ambiguity is impossible for canonical keys, same argument as
+    ops/sketch.finish_words)."""
+    kw_in = (key_bits + 31) // 32
+    return min(4, kw_in + (1 if key_bits % 32 == 0 else 0))
+
+
 def _pack_gid_planes(keys, gid, key_bits: int, gidbits: int, pw: int):
     """keys (..., cap, >= kw_in) uint32 little-endian key words (sorted
     unique per sketch, all-ones sentinel padding), gid (..., cap) uint32 —
     returns pw planes (..., cap) of (key << gidbits) | gid, sentinels
-    forced to all-ones in every word."""
+    forced to all-ones in every word.
+
+    Sentinel detection reads EVERY provided key word, not just the kw_in
+    packed ones: when key_bits is an exact word multiple, a valid key of
+    all-ones in its kw_in words is otherwise indistinguishable from the
+    sentinel, so callers should include the (all-zero for valid keys)
+    guard word above key_bits — _guard_words() says how many words; the
+    entry points slice that many automatically."""
     kw_in = (key_bits + 31) // 32
     s = gidbits
     assert 0 < s < 32
     sent = keys[..., 0] == jnp.uint32(0xFFFFFFFF)
-    for q in range(1, kw_in):
+    for q in range(1, keys.shape[-1]):
         sent = sent & (keys[..., q] == jnp.uint32(0xFFFFFFFF))
     ones = jnp.uint32(0xFFFFFFFF)
     planes = []
@@ -195,11 +214,23 @@ def _gram_chunks_packed(sw, gidbits: int, gp: int, chunk: int,
     rows are gids < r, columns gids >= r — at a quarter of the S^T·T matmul
     work (the blocked schedule's macro-tiles only need the rect part).
 
-    Same chunking/carry scheme as _gram_from_sorted_chunks (cumulative
-    open-run carry, segmented prefix over the binner batch), but validity,
-    key equality and gid all come from the packed words: valid = guard bit
-    clear, key equality = packed equality with gid bits masked, gid = low
-    bits of word 0."""
+    Validity, key equality and gid all come from the packed words: valid
+    = guard bit clear, key equality = packed equality with gid bits
+    masked, gid = low bits of word 0.
+
+    A key run straddling chunk boundaries contributes Σ_parts p^T p
+    instead of (Σ_parts p)^T (Σ_parts p); the missing cross terms are
+    added via a CUMULATIVE open-run carry: P[t] = multi-hot of all
+    earlier-chunk entries of the run open at chunk t's start, updated as
+    P[t+1] = P[t] + a[t] when chunk t purely continues a run (its last
+    key equals its carried key — sorted order then makes the whole chunk
+    one run) else a[t], where a[t] is chunk t's last-run multi-hot.
+    Every (earlier-parts x this-part) cross product is then P[t] b[t]^T
+    + b[t] P[t]^T with b[t] = this chunk's carried-key prefix multi-hot
+    — counted exactly once however many boundaries the run spans, so
+    `chunk` is NOT constrained by G.  Within a scan step the carry
+    recurrence over the `binner` chunks is a segmented (multiplier in
+    {0,1}) affine prefix scan, log2(binner) rounds over (B, gp) f32."""
     n = sw[0].shape[0]
     pw = len(sw)
     nchunks = n // chunk
@@ -252,8 +283,8 @@ def _gram_chunks_packed(sw, gidbits: int, gp: int, chunk: int,
             s, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)                  # (B,2,gp)
         a, b = ab[:, 0, :], ab[:, 1, :]
-        # cumulative open-run carry (segmented affine prefix, see
-        # _gram_from_sorted_chunks)
+        # cumulative open-run carry (segmented affine prefix — see the
+        # docstring's derivation)
         cont = jnp.ones((binner,), jnp.bool_)
         for q in range(pw):
             cont = cont & (lk[q] == pk_all[q])
@@ -374,8 +405,8 @@ def gram_all_pairs_ondevice(keys, counts, *, chunk: int | None = None,
 
     gid = jnp.broadcast_to(jnp.arange(g2, dtype=jnp.uint32)[:, None],
                            (g2, cap))
-    kw_in = (key_bits + 31) // 32
-    planes = _pack_gid_planes(keys[:, :, :kw_in], gid, key_bits, gidbits, pw)
+    kw_use = min(keys.shape[2], _guard_words(key_bits))
+    planes = _pack_gid_planes(keys[:, :, :kw_use], gid, key_bits, gidbits, pw)
     planes = [p.reshape(n // LANES, LANES) for p in planes]
     merged = _sort_packed(planes, cap // LANES, interpret)
     sw = [p.reshape(n) for p in merged]
@@ -409,8 +440,8 @@ def _presort_core(keys, key_bits: int, gidbits: int, pw: int,
     n = blk * cap
     gid = jnp.broadcast_to(jnp.arange(blk, dtype=jnp.uint32)[:, None],
                            (blk, cap))
-    kw_in = (key_bits + 31) // 32
-    planes = _pack_gid_planes(keys[:, :, :kw_in], gid, key_bits, gidbits, pw)
+    kw_use = min(keys.shape[2], _guard_words(key_bits))
+    planes = _pack_gid_planes(keys[:, :, :kw_use], gid, key_bits, gidbits, pw)
     planes = [p.reshape(n // LANES, LANES) for p in planes]
     return jnp.stack(_sort_packed(planes, cap // LANES, interpret))
 
@@ -461,7 +492,6 @@ def gram_pair_tiles(cache, ii, jj, *, block: int, gidbits: int,
     block must be a multiple of 128 (the rect one-hot width is 2*block on
     the MXU lane grid) and gidbits must cover 2*block (the jj side's gids
     are offset by +block inside the packed gid field)."""
-    from .pallas.gram_scan import CB as GRAM_CB
     from .pallas.sort import LANES, merge_sorted_runs
 
     nb, pw, rows, _ = cache.shape
@@ -489,7 +519,7 @@ def gram_pair_tiles(cache, ii, jj, *, block: int, gidbits: int,
             merged = merge_sorted_runs(planes, rows, interpret=interpret,
                                        nkeys=pw)
             pallas_ok = True
-        if (pallas_ok and (2 * rows) % GRAM_CB == 0 and block <= 512
+        if (pallas_ok and (2 * rows) % LANES == 0 and block <= 512
                 and (interpret
                      or _os.environ.get("SKS_GRAM_SCAN") == "pallas")):
             # VMEM-resident scan kernel — EXPERIMENTAL, opt-in via

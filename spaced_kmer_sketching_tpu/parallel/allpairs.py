@@ -94,11 +94,26 @@ def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
         # block-cache schedule: presort each block ONCE into a
         # device-resident packed cache, then batch many macro-tiles per
         # dispatch — per-tile dispatch latency through the TPU tunnel
-        # dominated the per-tile schedule below
-        devs = list(mesh.devices.flat) if mesh is not None else [None]
+        # dominated the per-tile schedule below.  It materializes the
+        # whole key slab on host and a presorted cache per device, so
+        # collections too large for that (the store-backed out-of-core
+        # case) fall through to the streaming per-tile schedule, which
+        # only ever holds O(block) uploads plus a bounded column cache.
+        from ..ops.gram import _guard_words, pack_plan
+
         kb = key_bits if key_bits is not None else 32 * key_words
-        return _gram_blocked_cached(provider, g, block, out, devs, kb,
-                                    pair_batch)
+        k0, _ = provider(0, min(block, g))
+        cap0, words0 = np.asarray(k0).shape[1], np.asarray(k0).shape[2]
+        nb_l = (g + block - 1) // block
+        gidbits = max(1, (2 * block - 1).bit_length())
+        kw_slice = min(words0, _guard_words(kb))
+        slab_b = nb_l * block * cap0 * kw_slice * 4
+        cache_b = nb_l * block * cap0 * pack_plan(kb, gidbits) * 4
+        budget = 8 << 30
+        if slab_b + cache_b <= budget:
+            devs = list(mesh.devices.flat) if mesh is not None else [None]
+            return _gram_blocked_cached(provider, g, block, out, devs, kb,
+                                        pair_batch)
     if engine == "gram":
         # pair-level data parallelism, the reference's cilk_for over pairs
         # (src/kmer_set.cpp:179): macro-tiles are independent, so they
@@ -203,9 +218,10 @@ def _gram_blocked_cached(provider, g: int, block: int, out, devs,
 
     nb = (g + block - 1) // block
     gidbits = max(1, (2 * block - 1).bit_length())
-    from ..ops.gram import gram_pair_tiles, pack_plan, presort_blocks_packed
+    from ..ops.gram import (_guard_words, gram_pair_tiles, pack_plan,
+                            presort_blocks_packed)
     pw = pack_plan(key_bits, gidbits)
-    kw_in = max(1, (key_bits + 31) // 32)
+    kw_in = max(1, _guard_words(key_bits))
     # the dominant scan temporary scales with 2*block; larger batches of
     # chunks amortize XLA scan-step overhead (measured 9.7 vs 11.9 ms/tile
     # at block=128) but must stay VMEM-friendly

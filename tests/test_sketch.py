@@ -131,3 +131,46 @@ def test_kw_finish_matches_xla_path(window, k):
     np.testing.assert_array_equal(cp, cx)
     np.testing.assert_array_equal(kp, kx)       # incl. sentinel tails
     assert np.all(kp[0, cp[0]:] == 0xFFFFFFFF)
+
+
+def test_upload_cache_identity_and_eviction(monkeypatch):
+    """The packed-upload cache returns the SAME device planes for equal
+    genome content (sweep configs reuse one upload), distinct planes for
+    different content, and evicts by byte budget."""
+    import numpy as np
+    from spaced_kmer_sketching_tpu.models import fracminhash as fm
+
+    monkeypatch.setattr(fm, "_UPLOAD_CACHE", type(fm._UPLOAD_CACHE)())
+    monkeypatch.setattr(fm, "_UPLOAD_CACHE_BYTES", [0])
+    monkeypatch.setenv("SKS_UPLOAD_CACHE_BYTES", str(1 << 30))
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, 4096).astype(np.uint32)
+    rid = np.zeros(4096, np.int32)
+    a = fm._cached_genome_planes(codes, rid)
+    b = fm._cached_genome_planes(codes.copy(), rid.copy())
+    assert all(x is y for x, y in zip(a, b))       # content-keyed hit
+    codes2 = codes.copy()
+    codes2[7] ^= 1
+    c = fm._cached_genome_planes(codes2, rid)
+    assert a[0] is not c[0]
+    # same codes, different run boundaries -> different planes
+    rid2 = rid.copy()
+    rid2[2048:] = 1
+    d = fm._cached_genome_planes(codes, rid2)
+    assert a[0] is not d[0]
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(d[0]))
+
+    # tiny budget: at most one entry retained
+    monkeypatch.setenv("SKS_UPLOAD_CACHE_BYTES", str(int(a[0].nbytes * 3.5)))
+    monkeypatch.setattr(fm, "_UPLOAD_CACHE", type(fm._UPLOAD_CACHE)())
+    monkeypatch.setattr(fm, "_UPLOAD_CACHE_BYTES", [0])
+    fm._cached_genome_planes(codes, rid)
+    fm._cached_genome_planes(codes2, rid)
+    assert len(fm._UPLOAD_CACHE) == 1              # first entry evicted
+
+    # budget 0 disables caching entirely
+    monkeypatch.setenv("SKS_UPLOAD_CACHE_BYTES", "0")
+    e = fm._cached_genome_planes(codes, rid)
+    f = fm._cached_genome_planes(codes, rid)
+    assert e[0] is not f[0]
