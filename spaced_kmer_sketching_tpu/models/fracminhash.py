@@ -559,6 +559,19 @@ class FracMinHashSketcher:
         from ..ops.gram import (gram_all_pairs, gram_all_pairs_ondevice,
                                 key_words_for_window)
         g = len(sketches)
+        if g <= 8 and native.available():
+            # tiny collections: the native sorted-merge on the already-
+            # downloaded sketches beats a device dispatch round-trip
+            # (~200 ms through the TPU tunnel for a 4-pair experiment —
+            # the reference's own per-pair scale, src/kmer_set.cpp:23-41)
+            u64s = [s.keys_u64() for s in sketches]
+            out = np.zeros((g, g), np.int32)
+            for i in range(g):
+                out[i, i] = sketches[i].count
+                for j in range(i + 1, g):
+                    out[i, j] = out[j, i] = native.intersect_sorted(
+                        u64s[i], u64s[j])
+            return out
         cap = max(1, _next_pow2(max([s.count for s in sketches] or [1])))
         keys_np = np.full((g, cap, 4), 0xFFFFFFFF, dtype=np.uint32)
         counts_np = np.zeros(g, dtype=np.int32)
