@@ -36,7 +36,7 @@ KEY_WORDS = 4
 LANES = 128
 BLOCK = 32768                     # windows per grid step (large: amortizes
                                   # the per-block HBM->VMEM DMA latency)
-BROWS = BLOCK // LANES            # 32
+BROWS = BLOCK // LANES            # 256
 HALO_ROWS = BROWS + 8             # extra 1024 codes cover window-1 <= 63
 
 # Survivor-compaction epilogue: "onehot" (k_slots x 4 one-hot lane

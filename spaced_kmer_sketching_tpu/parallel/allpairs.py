@@ -109,7 +109,8 @@ def blocked_all_pairs(mesh: Mesh, keys, counts, *, block: int = 512,
         kw_slice = min(words0, _guard_words(kb))
         slab_b = nb_l * block * cap0 * kw_slice * 4
         cache_b = nb_l * block * cap0 * pack_plan(kb, gidbits) * 4
-        budget = 8 << 30
+        import os as _os
+        budget = int(_os.environ.get("SKS_BLOCKED_CACHE_BUDGET", 8 << 30))
         if slab_b + cache_b <= budget:
             devs = list(mesh.devices.flat) if mesh is not None else [None]
             return _gram_blocked_cached(provider, g, block, out, devs, kb,

@@ -374,3 +374,33 @@ def test_blocked_all_pairs_cached_schedule():
     got = blocked_all_pairs(mesh, keys, counts, block=128, engine="gram",
                             key_words=2, key_bits=45, pair_batch=2)
     np.testing.assert_array_equal(got, want)
+
+
+def test_blocked_all_pairs_budget_fallback(monkeypatch):
+    """When the slab + presorted cache exceed the budget (out-of-core
+    collections), the gram engine must fall back to the streaming
+    per-tile schedule — and still produce identical counts."""
+    import jax
+    from spaced_kmer_sketching_tpu.ops.intersect import intersection_tile
+    from spaced_kmer_sketching_tpu.parallel.allpairs import blocked_all_pairs
+    from spaced_kmer_sketching_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(81)
+    g, cap = 256, 128
+    keys = np.full((g, cap, 4), 0xFFFFFFFF, np.uint32)
+    counts = np.zeros(g, np.int32)
+    pool = np.arange(1, 2000, dtype=np.uint32) * 104729
+    for i in range(g):
+        vals = np.unique(rng.choice(pool, 80))
+        keys[i, :vals.size, 0] = vals
+        keys[i, :vals.size, 1:] = 0
+        counts[i] = vals.size
+    mesh = make_mesh(devices=jax.devices()[:1])
+    want = np.asarray(intersection_tile(jnp.asarray(keys),
+                                        jnp.asarray(counts),
+                                        jnp.asarray(keys),
+                                        jnp.asarray(counts)))
+    monkeypatch.setenv("SKS_BLOCKED_CACHE_BUDGET", "1024")  # force fallback
+    got = blocked_all_pairs(mesh, keys, counts, block=128, engine="gram",
+                            key_words=2, key_bits=45)
+    np.testing.assert_array_equal(got, want)
