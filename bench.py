@@ -628,18 +628,44 @@ def bench_multiseed(args) -> int:
     masks = [spaced_seed_mask(window, k, seed) for seed in range(s)]
     salts = [boosthash.fmh_salt(m.lo, m.hi, window, 1, "modern")
              for m in masks]
-    masks_w = jnp.asarray(np.stack([m.words_u32 for m in masks]))
-    salt_pairs = jnp.asarray(np.stack([u64ops.salt_pair(x) for x in salts]))
+    masks_np = np.stack([m.words_u32 for m in masks])
+    salts_np = np.stack([u64ops.salt_pair(x) for x in salts])
     rng = np.random.default_rng(0)
     codes = rng.integers(0, 4, n).astype(np.uint32)
     run_id = run_ids_from_lens([n], n)
     capacity = 1 << max(10, (max(1, 2 * n // scale)).bit_length())
-    codes_d, rid_d = jnp.asarray(codes), jnp.asarray(run_id)
 
-    def step():
-        return sketch_from_codes_multiseed(
-            codes_d, rid_d, masks_w, salt_pairs, window=window, scale=scale,
-            variant="modern", capacity=capacity)
+    steps = 1
+    if jax.default_backend() == "tpu":
+        # shared-plane multiseed: the genome is host-packed ONCE and every
+        # grid row reads the same HBM planes, only mask/salt vary per row;
+        # `steps` independent seed batches fold onto the grid to amortize
+        # the ~1.7 ms fixed per-dispatch runtime cost (same scheme as the
+        # sketch mode, per-seed semantics unchanged — every seed's keys
+        # still verify below)
+        from spaced_kmer_sketching_tpu.ops.pallas.extract import (
+            pack_genomes_np)
+        from spaced_kmer_sketching_tpu.ops.sketch import (
+            jitted_sketch_multiseed_packed)
+        steps = args.steps_per_dispatch
+        qc, qr, rid2 = pack_genomes_np(codes[None], run_id[None])
+        planes = (jnp.asarray(qc), jnp.asarray(qr), jnp.asarray(rid2))
+        masks_w = jnp.asarray(np.tile(masks_np, (steps, 1)))
+        salt_pairs = jnp.asarray(np.tile(salts_np, (steps, 1)))
+        fn = jitted_sketch_multiseed_packed(n, window, scale, "modern",
+                                            capacity)
+
+        def step():
+            return fn(*planes, masks_w, salt_pairs)
+    else:
+        masks_w = jnp.asarray(masks_np)
+        salt_pairs = jnp.asarray(salts_np)
+        codes_d, rid_d = jnp.asarray(codes), jnp.asarray(run_id)
+
+        def step():
+            return sketch_from_codes_multiseed(
+                codes_d, rid_d, masks_w, salt_pairs, window=window,
+                scale=scale, variant="modern", capacity=capacity)
 
     out = step()
     np.asarray(out.count)             # compile + forced completion
@@ -648,7 +674,7 @@ def bench_multiseed(args) -> int:
     for _ in range(args.iters):
         out = step()
     np.asarray(out.count)
-    dt = (time.perf_counter() - t0) / args.iters
+    dt = (time.perf_counter() - t0) / (args.iters * steps)
     window_seeds = s * (n - window + 1)
     tpu_rate = window_seeds / dt
 
@@ -691,6 +717,7 @@ def bench_multiseed(args) -> int:
         "platform": jax.devices()[0].platform,
         "nt": n, "seeds": s, "window": window, "k": k, "scale": scale,
         "step_ms": round(dt * 1e3, 3),
+        "steps_per_dispatch": steps,
         "verified": verified,
     }
     print(json.dumps(result))

@@ -208,12 +208,17 @@ def _dma_group(hbms, scratches, sems, g, b, slot):
     return cps
 
 
-def _pipelined_dma(hbms, scratches, sems, nblocks: int):
+def _pipelined_dma(hbms, scratches, sems, nblocks: int,
+                   shared: bool = False):
     """Double-buffered block input: wait on this block's copies (started by
     the previous grid step), prefetch the next block's into the other slot.
     Grid steps run sequentially per core, and scratch persists across them;
     a serialized start->wait cost ~5 ms per 512-block batch in DMA latency
-    alone."""
+    alone.
+
+    shared=True: every batch element reads HBM plane row 0 (the input
+    planes have a single genome row shared by all grid rows — fused
+    multi-seed sketching, where only mask/salt vary per row)."""
     g = pl.program_id(0)
     b = pl.program_id(1)
     # slot parity must follow the GLOBAL step (g, b iterate row-major):
@@ -222,22 +227,25 @@ def _pipelined_dma(hbms, scratches, sems, nblocks: int):
     step = g * nblocks + b
     slot = step % 2
     first = (g == 0) & (b == 0)
+    pg = 0 if shared else g
 
     @pl.when(first)
     def _():
-        for cp in _dma_group(hbms, scratches, sems, g, b, slot):
+        for cp in _dma_group(hbms, scratches, sems, pg, b, slot):
             cp.start()
 
-    for cp in _dma_group(hbms, scratches, sems, g, b, slot):
+    for cp in _dma_group(hbms, scratches, sems, pg, b, slot):
         cp.wait()
 
     last_b = b == nblocks - 1
     ng = jnp.where(last_b, g + 1, g)
     nb = jnp.where(last_b, 0, b + 1)
+    png = 0 if shared else ng
 
     @pl.when(~(last_b & (g == pl.num_programs(0) - 1)))
     def _():
-        for cp in _dma_group(hbms, scratches, sems, ng, nb, (step + 1) % 2):
+        for cp in _dma_group(hbms, scratches, sems, png, nb,
+                             (step + 1) % 2):
             cp.start()
     return slot
 
@@ -280,7 +288,8 @@ def _lane_cumsum(x):
 
 def _compact_kernel(qc_hbm, qr_hbm, rid_hbm, mask_ref, salt_ref,
                     *refs, window: int, scale: int, variant: str,
-                    k_slots: int, out_words: int = KEY_WORDS):
+                    k_slots: int, out_words: int = KEY_WORDS,
+                    shared: bool = False):
     """Extract + filter + per-row compaction: each 128-window row emits its
     first `k_slots` surviving keys (slot s = the (s+1)-th kept window of the
     row, located via a lane cumsum + one-hot reduction).  Rows with more
@@ -299,7 +308,7 @@ def _compact_kernel(qc_hbm, qr_hbm, rid_hbm, mask_ref, salt_ref,
     ocnt, qc_s, qr_s, rid_s, sems = refs[out_words:]
     g = pl.program_id(0)
     slot = _pipelined_dma((qc_hbm, qr_hbm, rid_hbm), (qc_s, qr_s, rid_s),
-                          sems, nblocks=pl.num_programs(1))
+                          sems, nblocks=pl.num_programs(1), shared=shared)
     canon, keep = _extract_block_packed(
         qc_s.at[slot], qr_s.at[slot], rid_s.at[slot],
         [mask_ref[g, q] for q in range(KEY_WORDS)],
@@ -519,13 +528,22 @@ def extract_compact_windows_prepacked(qc2, qr2, rid2, mask_words, *,
                                       nw: int, window: int, salt, scale: int,
                                       variant: str, k_slots: int,
                                       out_words: int = KEY_WORDS,
+                                      batch: int = 0,
                                       interpret: bool = False):
     """Kernel entry on pre-packed (G, rows, 128) planes from pack_genomes_np
     (or _pad_batch_packed); nw = true window count of the original codes.
     out_words <= 4 selects how many low key-word planes are emitted (all
     higher words are zero for every valid key when 2*window <= 32*out_words
-    — see _compact_kernel)."""
-    g = qc2.shape[0]
+    — see _compact_kernel).
+
+    batch > plane rows (which must then be 1) runs `batch` grid rows that
+    all read the SAME genome planes from HBM while mask/salt stay
+    per-row — fused multi-seed sketching without replicating the packed
+    genome S times (neither in HBM nor as in-jit re-packing)."""
+    g = batch or qc2.shape[0]
+    shared = g != qc2.shape[0]
+    if shared:
+        assert qc2.shape[0] == 1, (qc2.shape, g)
     nwp = ((nw + BLOCK - 1) // BLOCK) * BLOCK
     rows = nwp // LANES
     assert 32 * out_words >= 2 * window
@@ -534,7 +552,7 @@ def extract_compact_windows_prepacked(qc2, qr2, rid2, mask_words, *,
 
     kern = functools.partial(_compact_kernel, window=window,
                              scale=scale, variant=variant, k_slots=k_slots,
-                             out_words=out_words)
+                             out_words=out_words, shared=shared)
     word_shape = jax.ShapeDtypeStruct((g, rows, k_slots), jnp.uint32)
     outs = pl.pallas_call(
         kern,

@@ -214,11 +214,16 @@ def _sketch_batch_pallas(codes, run_id, mask_words, salt, *, window: int,
 
 def sketch_batch_packed(qc, qr, rid, mask_words, *, n: int, window: int,
                         salt, scale: int, variant: str, capacity: int,
+                        batch: int = 0,
                         interpret: bool = False) -> SketchBatch:
     """Batched sketch step on HOST-prepacked genome planes (see
     ops/pallas/extract.pack_genomes_np): the hot-loop entry for ingest
     pipelines and the benchmark — packing is window/mask-independent and
-    hoisted to upload time, so a 62-config sweep re-reads one upload."""
+    hoisted to upload time, so a 62-config sweep re-reads one upload.
+
+    batch=S with single-row planes + (S, 4)/(S, 2) mask/salt runs the
+    fused multi-seed form: S seeds over ONE genome whose planes are read
+    shared from HBM (BASELINE config 3)."""
     from .pallas.extract import extract_compact_windows_prepacked
 
     nw = n - window + 1
@@ -226,7 +231,7 @@ def sketch_batch_packed(qc, qr, rid, mask_words, *, n: int, window: int,
     words, rowcnt, _ = extract_compact_windows_prepacked(
         qc, qr, rid, mask_words, nw=nw, window=window, salt=salt,
         scale=scale, variant=variant, k_slots=k_slots,
-        out_words=finish_words(window), interpret=interpret)
+        out_words=finish_words(window), batch=batch, interpret=interpret)
     return _finish_dispatch(words, rowcnt, nw, k_slots, capacity, scale,
                             interpret)
 
@@ -237,6 +242,20 @@ def jitted_sketch_batch_packed(n: int, window: int, salt: int, scale: int,
     return jax.jit(functools.partial(
         sketch_batch_packed, n=n, window=window, salt=salt, scale=scale,
         variant=variant, capacity=capacity))
+
+
+@functools.lru_cache(maxsize=32)
+def jitted_sketch_multiseed_packed(n: int, window: int, scale: int,
+                                   variant: str, capacity: int):
+    """Jitted multi-seed step on shared prepacked planes: (qc, qr, rid)
+    single-genome planes + (S, 4) masks + (S, 2) salt pairs -> SketchBatch
+    with a leading S axis (S read from the mask shape at trace time)."""
+    def fn(qc, qr, rid, mask_words, salt_pairs):
+        return sketch_batch_packed(
+            qc, qr, rid, mask_words, n=n, window=window, salt=salt_pairs,
+            scale=scale, variant=variant, capacity=capacity,
+            batch=mask_words.shape[0])
+    return jax.jit(fn)
 
 
 def sketch_batch_compact(p, bounds, rid0, valid_len, mask_words, *, n: int,
@@ -721,11 +740,18 @@ def sketch_from_codes_multiseed(codes, run_id, masks_words, salt_pairs, *,
     s = masks_words.shape[0]
     if (jax.default_backend() == "tpu" and not _PALLAS_SORT_DISABLED
             and codes.ndim == 1):
-        codes_b = jnp.broadcast_to(codes, (s,) + codes.shape)
-        rid_b = jnp.broadcast_to(run_id, (s,) + run_id.shape)
-        return _sketch_batch_pallas(codes_b, rid_b, masks_words, salt_pairs,
-                                    window=window, scale=scale,
-                                    variant=variant, capacity=capacity)
+        # pack the genome ONCE (packing is mask/salt-independent) and let
+        # every seed row of the kernel grid read the same shared planes —
+        # broadcasting codes to (S, n) re-packed the identical genome S
+        # times inside the jit (measured ~35% of the multiseed step)
+        from .pallas.extract import _pad_batch_packed
+        qc2, qr2, rid2, nw, _ = _pad_batch_packed(codes[None], run_id[None],
+                                                  window)
+        return sketch_batch_packed(qc2, qr2, rid2, masks_words,
+                                   n=codes.shape[0], window=window,
+                                   salt=salt_pairs, scale=scale,
+                                   variant=variant, capacity=capacity,
+                                   batch=s)
 
     def one(mask_w, sp):
         return sketch_core(codes, run_id, mask_w, window=window,

@@ -377,3 +377,38 @@ def test_sketch_batch_compact_interpret():
                                   np.asarray(want.keys))
     np.testing.assert_array_equal(np.asarray(got.raw_kept),
                                   np.asarray(want.raw_kept))
+
+
+def test_multiseed_shared_planes_interpret():
+    """Shared-plane multi-seed (single-genome planes + per-row mask/salt,
+    batch=S) bit-matches replicated per-seed planes — the config-3 hot
+    entry (ops/sketch.sketch_batch_packed batch=S)."""
+    from spaced_kmer_sketching_tpu.ops import u64ops
+    from spaced_kmer_sketching_tpu.ops.pallas.extract import (
+        extract_compact_windows_prepacked, pack_genomes_np)
+
+    window, k, scale, s = 20, 16, 20, 3
+    masks = [spaced_seed_mask(window, k, seed) for seed in range(s)]
+    salts = [boosthash.fmh_salt(m.lo, m.hi, window, 1, "modern")
+             for m in masks]
+    mw = jnp.asarray(np.stack([m.words_u32 for m in masks]))
+    sp = jnp.asarray(np.stack([u64ops.salt_pair(x) for x in salts]))
+    rng = np.random.default_rng(11)
+    n = 70000
+    codes = rng.integers(0, 4, (1, n)).astype(np.uint8)
+    rid = run_ids_from_lens([n // 2, n - n // 2], n)[None]
+    qc, qr, rid2 = pack_genomes_np(codes, rid)
+
+    got = extract_compact_windows_prepacked(
+        jnp.asarray(qc), jnp.asarray(qr), jnp.asarray(rid2), mw,
+        nw=n - window + 1, window=window, salt=sp, scale=scale,
+        variant="modern", k_slots=64, batch=s, interpret=True)
+    qc_b = jnp.asarray(np.repeat(qc, s, axis=0))
+    qr_b = jnp.asarray(np.repeat(qr, s, axis=0))
+    rid_b = jnp.asarray(np.repeat(rid2, s, axis=0))
+    want = extract_compact_windows_prepacked(
+        qc_b, qr_b, rid_b, mw, nw=n - window + 1, window=window, salt=sp,
+        scale=scale, variant="modern", k_slots=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+    for a, b in zip(got[0], want[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
