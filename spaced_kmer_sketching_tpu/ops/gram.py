@@ -276,13 +276,22 @@ def _gram_chunks_packed(sw, gidbits: int, gp: int, chunk: int,
         eqp = valid
         for q in range(pw):
             eqp = eqp & (kf[q] == pk_all[q][:, None])
-        # a/b via bf16 batched matvecs (sums <= chunk, bf16-exact): the
-        # f32 einsum formulation materialized S in f32 (~16 MB per step)
-        ab = lax.dot_general(
-            jnp.stack([eql, eqp], axis=1).astype(jnp.bfloat16),  # (B,2,C)
-            s, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)                  # (B,2,gp)
-        a, b = ab[:, 0, :], ab[:, 1, :]
+        # a/b as ONE masked VPU reduce over the chunk axis: the
+        # batched-matvec dot_general (M=2) lowered to an
+        # "AllBatchInSublanes" convolution at <1 TFLOP/s — 30% of the
+        # whole scan on hardware — and two separate reduces paid the
+        # (B, C, gp) select twice.  Both counts are <= chunk, so
+        # r = a + base*b with base the next power of two above chunk is
+        # exact in f32 (r < 2^24 for chunk <= 2048) and splits back
+        # losslessly (base is a power of two: the scaling is exact).
+        base = float(1 << chunk.bit_length())
+        assert chunk * (base + 1) < (1 << 24)
+        w = (eql.astype(jnp.float32)
+             + base * eqp.astype(jnp.float32))                   # (B, C)
+        r_ab = jnp.sum(w[:, :, None] * s.astype(jnp.float32), axis=1,
+                       dtype=jnp.float32)                        # (B, gp)
+        b = jnp.floor(r_ab * (1.0 / base))
+        a = r_ab - base * b
         # cumulative open-run carry (segmented affine prefix — see the
         # docstring's derivation)
         cont = jnp.ones((binner,), jnp.bool_)

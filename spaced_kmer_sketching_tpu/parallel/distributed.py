@@ -72,8 +72,32 @@ def global_mesh(shape: Optional[Tuple[int, int]] = None):
 
 
 def process_shard(n_items: int) -> slice:
-    """This host's contiguous shard of n_items (for per-host FASTA ingest:
-    each host parses only the genomes it will place on its own devices)."""
+    """This host's contiguous shard of n_items (coarse host-level work
+    splitting).  For ingest feeding a SHARDED device batch use
+    local_batch_rows instead — the rows a host must parse are the rows its
+    own devices hold under the actual sharding, which a contiguous
+    ceil-division split does not reproduce (e.g. 5 genomes, 2 hosts x 4
+    devices: the padded batch puts rows 0-3 on host 0, but the ceil split
+    hands row 3 to host 1 — the row would be ingested by nobody that
+    places it)."""
     p, np_ = jax.process_index(), jax.process_count()
     per = (n_items + np_ - 1) // np_
     return slice(p * per, min(n_items, (p + 1) * per))
+
+
+def local_batch_rows(mesh, spec, n_items: int, pad_multiple: int):
+    """Indices in [0, n_items) of the leading-axis rows that THIS process's
+    devices hold when an (n_items padded to pad_multiple)-row batch is
+    sharded with `spec` over `mesh` — per-host FASTA ingest parses exactly
+    these (SURVEY.md §2.1 genome-level data parallelism)."""
+    from jax.sharding import NamedSharding
+
+    n_pad = ((n_items + pad_multiple - 1) // pad_multiple) * pad_multiple
+    sharding = NamedSharding(mesh, spec)
+    me = jax.process_index()
+    local = set()
+    for dev, idx in sharding.devices_indices_map((n_pad,)).items():
+        if dev.process_index != me:
+            continue
+        local.update(range(*idx[0].indices(n_pad)))
+    return {i for i in local if i < n_items}

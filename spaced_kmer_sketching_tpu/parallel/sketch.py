@@ -44,12 +44,19 @@ def sharded_sketch_fn(mesh: Mesh, *, window: int, salt: int, scale: int,
     return jax.jit(sharded)
 
 
-def pack_genome_batch(packed_list: Sequence, mesh_size: int, window: int):
+def pack_genome_batch(packed_list: Sequence, mesh_size: int, window: int,
+                      n_codes: int = None):
     """Host-side batcher: pad G genomes to one static length and a multiple
-    of the mesh size.  Returns (codes (G', n), run_ids (G', n), G)."""
+    of the mesh size.  Returns (codes (G', n), run_ids (G', n), G).
+
+    n_codes: GLOBAL max genome length, for multi-process callers whose
+    local packed_list holds placeholders for other hosts' genomes — the
+    padded length must agree across processes or the jitted programs
+    diverge."""
     g = len(packed_list)
     gp = pad_to_multiple(max(g, 1), mesh_size)
-    n = max([p.codes.size for p in packed_list] + [window]) + window
+    n = max([p.codes.size for p in packed_list] + [window, n_codes or 0]) \
+        + window
     n = pad_to_multiple(n, 128)
     codes = np.zeros((gp, n), dtype=np.uint32)
     run_ids = np.full((gp, n), -1, dtype=np.int32)

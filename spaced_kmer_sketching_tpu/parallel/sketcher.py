@@ -26,7 +26,7 @@ from ..config import SketchConfig
 from ..models.fracminhash import FracMinHashSketcher, Sketch, _next_pow2
 from ..observability import get_logger, span
 from .allpairs import sharded_all_pairs_fn
-from .distributed import global_mesh, process_shard
+from .distributed import global_mesh, local_batch_rows
 from .mesh import COL_AXIS, ROW_AXIS, data_spec, pad_to_multiple
 from .sketch import pack_genome_batch, sharded_sketch_fn
 
@@ -116,8 +116,8 @@ class MeshSketcher(FracMinHashSketcher):
 
         if on_error not in ("raise", "skip"):
             raise ValueError(f"unknown on_error {on_error!r}")
-        sl = process_shard(len(paths))
-        local = set(range(len(paths))[sl])
+        local = local_batch_rows(self.mesh, data_spec(), len(paths),
+                                 self.mesh_size)
         empty = PackedSeqs(codes=np.empty(0, np.uint8),
                            run_lens=np.empty(0, np.int64))
 
@@ -141,9 +141,25 @@ class MeshSketcher(FracMinHashSketcher):
     def sketch_packed_batch(self, packed_list, names=None) -> List[Sketch]:
         cfg = self.config
         names = names or [""] * len(packed_list)
-        codes, run_ids, g = pack_genome_batch(packed_list, self.mesh_size,
-                                              cfg.window)
         nwins = [p.total_windows(cfg.window) for p in packed_list]
+        n_codes = None
+        if jax.process_count() > 1:
+            # each process only parsed ITS shard (others are empty
+            # placeholders), but everything derived from genome metadata
+            # must be GLOBALLY consistent: the padded length and capacity
+            # shape the jitted program (divergent shapes deadlock the
+            # collective compile) and the per-genome window counts gate
+            # the final counts (a local-only guard zeroed every non-local
+            # sketch).  One tiny allgather of (sizes, windows) fixes all
+            # three.
+            from jax.experimental import multihost_utils
+            meta = np.array([[int(p.codes.size) for p in packed_list],
+                             nwins], np.int64)
+            allm = np.asarray(multihost_utils.process_allgather(meta))
+            n_codes = int(allm[:, 0, :].max())
+            nwins = [int(x) for x in allm[:, 1, :].max(axis=0)]
+        codes, run_ids, g = pack_genome_batch(packed_list, self.mesh_size,
+                                              cfg.window, n_codes=n_codes)
         capacity = max([cfg.capacity_for(nw) for nw in nwins if nw > 0]
                        or [cfg.capacity_for(1)])
 
@@ -173,7 +189,14 @@ class MeshSketcher(FracMinHashSketcher):
     def _put(self, arr: np.ndarray, spec: P):
         sharding = NamedSharding(self.mesh, spec)
         if jax.process_count() > 1:
-            return jax.make_array_from_process_local_data(sharding, arr)
+            # arr is GLOBAL-shaped on every process (non-local genome rows
+            # are zero-filled and never read — each process's addressable
+            # devices map onto its own rows).  global_shape must be passed
+            # explicitly: without it the API infers a global shape under
+            # the each-host-holds-only-its-own-rows convention and the
+            # array comes out process_count times too large.
+            return jax.make_array_from_process_local_data(
+                sharding, arr, global_shape=arr.shape)
         return jax.device_put(arr, sharding)
 
     def _get(self, x) -> np.ndarray:
