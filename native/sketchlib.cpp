@@ -389,6 +389,39 @@ void skt_pack2bit(const uint8_t* codes, int64_t n, int64_t n_words,
     }
 }
 
+// Bit-tight key transport for the blocked all-pairs slab
+// (ops/gram.pack_keys_tight_np semantics): keys (g, cap, kw) uint32
+// little-endian word planes, counts (g,) — pack each genome's first
+// counts[i] keys' low key_bits bits contiguously in groups of 4 keys
+// per ceil(4*key_bits/32) words; everything at/past counts packs as 0
+// (the device unpack reconstructs sentinel rows from counts).  The
+// numpy formulation paid ~4 s of first-touch page faults per 1024x8192
+// slab on this sandbox's allocator; this loop is ~50 ms.
+void skt_pack_keys_tight(const uint32_t* keys, const int32_t* counts,
+                         int64_t g, int64_t cap, int kw, int key_bits,
+                         uint32_t* out) {
+    const int w4 = (4 * key_bits + 31) / 32;
+    const uint64_t kmask = key_bits >= 64
+        ? ~uint64_t(0) : ((uint64_t(1) << key_bits) - 1);
+    for (int64_t gi = 0; gi < g; ++gi) {
+        const uint32_t* kp = keys + gi * cap * kw;
+        uint32_t* op = out + gi * (cap / 4) * w4;
+        const int64_t cnt = std::min<int64_t>(counts[gi], cap);
+        for (int64_t i = 0; i < cnt; ++i) {
+            uint64_t v = kp[i * kw];
+            if (kw > 1) v |= uint64_t(kp[i * kw + 1]) << 32;
+            v &= kmask;
+            const int j = int(i & 3);
+            uint32_t* grp = op + (i >> 2) * w4;
+            const int o = j * key_bits, w = o >> 5, s = o & 31;
+            grp[w] |= uint32_t(v << s);
+            const int rem = key_bits - (32 - s);
+            if (rem > 0) grp[w + 1] |= uint32_t(v >> (32 - s));
+            if (rem > 32) grp[w + 2] |= uint32_t(v >> (64 - s));
+        }
+    }
+}
+
 // Sorted-unique 128-bit set intersection (two-pointer merge), for the CPU
 // baseline ANI path.  Keys are (lo,hi) pairs sorted ascending.
 int64_t skt_intersect_sorted(const uint64_t* a, int64_t na,

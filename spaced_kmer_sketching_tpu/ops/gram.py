@@ -446,6 +446,99 @@ def gram_all_pairs_ondevice(keys, counts, *, chunk: int | None = None,
 # instead of the full tree) plus the rect-split chunk scan.
 
 
+# --- bit-tight slab transport ----------------------------------------------
+#
+# The blocked schedule's host->device slab is pure transfer cost (the
+# sketches were downloaded from earlier sweeps or a store); canonical keys
+# only carry key_bits = 2*window live bits, so shipping whole uint32 word
+# planes moves zero ballast — e.g. 64 bits/key for window-20's 40-bit keys.
+# Tight transport packs groups of 4 keys bit-contiguously into
+# ceil(4*key_bits/32) words (static per-slot word/shift offsets: unpacking
+# is vectorized shifts, no gathers) and reconstructs sentinel rows from the
+# sketch counts instead of a flag bit.
+
+
+def tight_words4(key_bits: int) -> int:
+    """Words per 4-key group of bit-tight packed keys."""
+    return (4 * key_bits + 31) // 32
+
+
+def pack_keys_tight_np(keys, counts, key_bits: int, use_native: bool = True):
+    """Host side: keys (G, cap, >=ceil(key_bits/32)) uint32 sorted-unique
+    sketches (anything at/past counts[g] ignored), cap % 4 == 0 ->
+    (G, cap/4, tight_words4(key_bits)) uint32.
+
+    Routed through the native C++ packer when available: the numpy
+    formulation's u64 temporaries cost ~4 s of first-touch page faults
+    per 1024x8192 slab on this sandbox's allocator vs ~50 ms in C."""
+    import numpy as np
+    g, cap = keys.shape[:2]
+    assert cap % 4 == 0
+    kb = key_bits
+    assert kb <= 64
+    from ..utils import native as _native
+    if use_native and _native.available():
+        kw2 = min(keys.shape[2], 2)
+        return _native.pack_keys_tight(
+            np.ascontiguousarray(keys[:, :, :kw2]), counts, kb)
+    w4 = tight_words4(kb)
+    lo = keys[:, :, 0].astype(np.uint64)
+    hi = (keys[:, :, 1].astype(np.uint64) if keys.shape[2] > 1
+          else np.zeros_like(lo))
+    v = (lo | (hi << np.uint64(32)))
+    if kb < 64:
+        v &= (np.uint64(1) << np.uint64(kb)) - np.uint64(1)
+    # zero the sentinel tail (reconstructed from counts on device)
+    idx = np.arange(cap, dtype=np.int64)[None, :]
+    v = np.where(idx < np.asarray(counts).astype(np.int64)[:, None], v, 0)
+    v = v.reshape(g, cap // 4, 4)
+    out = np.zeros((g, cap // 4, w4), np.uint32)
+    m32 = np.uint64(0xFFFFFFFF)
+    for j in range(4):
+        o = j * kb
+        w, s = divmod(o, 32)
+        out[:, :, w] |= ((v[:, :, j] << np.uint64(s)) & m32).astype(np.uint32)
+        rem = kb - (32 - s)          # bits spilling past word w
+        if rem > 0:
+            out[:, :, w + 1] |= ((v[:, :, j] >> np.uint64(32 - s))
+                                 & m32).astype(np.uint32)
+        if rem > 32:
+            out[:, :, w + 2] |= (v[:, :, j] >> np.uint64(64 - s)) \
+                .astype(np.uint32)
+    return out
+
+
+def unpack_keys_tight(tight, counts, key_bits: int, kw_out: int):
+    """Device side: inverse of pack_keys_tight_np -> (G, cap, kw_out)
+    uint32 with all-ones sentinel rows at/past counts (bit-identical to
+    the original sentinel-padded sketch layout)."""
+    g, cap4, w4 = tight.shape
+    kb = key_bits
+    cap = cap4 * 4
+    slots = []
+    for j in range(4):
+        words = []
+        for q in range(kw_out):
+            if 32 * q >= kb:                 # word past the key's live bits
+                words.append(jnp.zeros((g, cap4), jnp.uint32))
+                continue
+            o = j * kb + 32 * q
+            w, s = divmod(o, 32)
+            val = tight[:, :, w] >> s if w < w4 else jnp.zeros(
+                (g, cap4), jnp.uint32)
+            if s and w + 1 < w4:
+                val = val | (tight[:, :, w + 1] << (32 - s))
+            live = kb - 32 * q           # live bits in this output word
+            if 0 < live < 32:
+                val = val & jnp.uint32((1 << live) - 1)
+            words.append(val)
+        slots.append(jnp.stack(words, axis=-1))         # (G, cap4, kw_out)
+    keys = jnp.stack(slots, axis=2).reshape(g, cap, kw_out)
+    idx = lax.broadcasted_iota(jnp.int32, (g, cap), 1)
+    sent = idx >= counts.astype(jnp.int32)[:, None]
+    return jnp.where(sent[:, :, None], jnp.uint32(0xFFFFFFFF), keys)
+
+
 def _presort_core(keys, key_bits: int, gidbits: int, pw: int,
                   interpret: bool):
     from .pallas.sort import LANES
@@ -490,11 +583,38 @@ def presort_blocks_packed(slab, *, block: int, key_bits: int, gidbits: int,
     return cache
 
 
+@functools.partial(jax.jit, static_argnames=("block", "key_bits", "gidbits",
+                                             "pw", "interpret"))
+def presort_blocks_tight(tight, counts, *, block: int, key_bits: int,
+                         gidbits: int, pw: int, interpret: bool = False):
+    """presort_blocks_packed fed by a BIT-TIGHT slab (pack_keys_tight_np,
+    tight (nb*block, cap/4, tight_words4(key_bits)) + counts (nb*block,)):
+    the host->device transfer carries only the live key bits — 5/8 of the
+    word-plane bytes for window-20's 40-bit keys — and each block is
+    unpacked to full words inside the per-block scan step, so the
+    full-width slab never materializes at once."""
+    g, cap4, w4 = tight.shape
+    nb = g // block
+    assert g % block == 0
+    kw = _guard_words(key_bits)
+
+    def body(_, tc):
+        tb, cb = tc
+        kb_full = unpack_keys_tight(tb, cb, key_bits, kw)
+        return None, _presort_core(kb_full, key_bits, gidbits, pw, interpret)
+
+    _, cache = lax.scan(
+        body, None, (tight.reshape(nb, block, cap4, w4),
+                     counts.reshape(nb, block)))
+    return cache
+
+
 @functools.partial(jax.jit, static_argnames=("block", "gidbits", "chunk",
-                                             "binner", "interpret"))
+                                             "binner", "out_dtype",
+                                             "interpret"))
 def gram_pair_tiles(cache, ii, jj, *, block: int, gidbits: int,
                     chunk: int = 128, binner: int = 32,
-                    interpret: bool = False):
+                    out_dtype=jnp.int32, interpret: bool = False):
     """Batched macro-tiles: cache (nb, pw, rows, 128) per-block sorted
     packed planes (presort_block_packed), ii/jj (P,) int32 block indices
     with ii <= jj -> (P, block, block) int32 rect intersection tiles
@@ -551,7 +671,9 @@ def gram_pair_tiles(cache, ii, jj, *, block: int, gidbits: int,
         sw = [p.reshape(n) for p in merged]
         acc = _gram_chunks_packed(sw, gidbits, 2 * block, chunk,
                                   binner=binner, split=block)
-        return None, acc.astype(jnp.int32)
+        # int16 when the caller knows counts fit (cap <= 32767) — the
+        # result download is half the bytes through the host tunnel
+        return None, acc.astype(out_dtype)
 
     _, tiles = lax.scan(body, None, jnp.stack([ii, jj], axis=1))
     return tiles

@@ -219,8 +219,9 @@ def _gram_blocked_cached(provider, g: int, block: int, out, devs,
 
     nb = (g + block - 1) // block
     gidbits = max(1, (2 * block - 1).bit_length())
-    from ..ops.gram import (_guard_words, gram_pair_tiles, pack_plan,
-                            presort_blocks_packed)
+    from ..ops.gram import (_guard_words, gram_pair_tiles, pack_keys_tight_np,
+                            pack_plan, presort_blocks_packed,
+                            presort_blocks_tight, tight_words4)
     pw = pack_plan(key_bits, gidbits)
     kw_in = max(1, _guard_words(key_bits))
     # the dominant scan temporary scales with 2*block; larger batches of
@@ -228,28 +229,49 @@ def _gram_blocked_cached(provider, g: int, block: int, out, devs,
     # at block=128) but must stay VMEM-friendly
     binner = 128 if block <= 256 else 32
 
-    # host slab: one contiguous (nb*block, cap, kw_in) array so the
-    # host->device boundary is crossed by ONE transfer per device — eight
-    # per-block device_puts measured 25 MB/s effective through the tunnel
-    blocks_np = []
+    # host slab: one contiguous array so the host->device boundary is
+    # crossed by ONE transfer per device — eight per-block device_puts
+    # measured 25 MB/s effective through the tunnel.  When the bit-tight
+    # layout saves words (pack_keys_tight_np: only the 2*window live key
+    # bits travel, e.g. 5/8 of the word planes at window 20), the slab is
+    # packed tight on host and unpacked inside the presort scan.
+    blocks_np, counts_np_l = [], []
+    use_tight = None
     for b in range(nb):
         i0, i1 = b * block, min(g, (b + 1) * block)
-        kb, _ = provider(i0, i1)
+        kb, cb = provider(i0, i1)
         kb = np.asarray(kb)[:, :, :kw_in]
+        cb = np.asarray(cb)
+        if use_tight is None:
+            use_tight = (kb.shape[1] % 4 == 0
+                         and tight_words4(key_bits) < 4 * kw_in)
         if kb.shape[0] < block:             # ragged tail: sentinel sketches
             pad = np.full((block - kb.shape[0],) + kb.shape[1:],
                           0xFFFFFFFF, np.uint32)
             kb = np.concatenate([kb, pad])
-        blocks_np.append(kb)
+            cb = np.concatenate([cb, np.zeros(block - cb.shape[0],
+                                              cb.dtype)])
+        blocks_np.append(pack_keys_tight_np(kb, cb, key_bits)
+                         if use_tight else kb)
+        counts_np_l.append(cb)
     slab_np = np.ascontiguousarray(np.concatenate(blocks_np))
+    counts_all = np.concatenate(counts_np_l).astype(np.int32)
     del blocks_np
 
     caches = []
     for d in devs:
         slab = jnp.asarray(slab_np) if d is None else jax.device_put(
             slab_np, d)
-        caches.append(presort_blocks_packed(
-            slab, block=block, key_bits=key_bits, gidbits=gidbits, pw=pw))
+        if use_tight:
+            cnts = (jnp.asarray(counts_all) if d is None
+                    else jax.device_put(counts_all, d))
+            caches.append(presort_blocks_tight(
+                slab, cnts, block=block, key_bits=key_bits,
+                gidbits=gidbits, pw=pw))
+        else:
+            caches.append(presort_blocks_packed(
+                slab, block=block, key_bits=key_bits, gidbits=gidbits,
+                pw=pw))
 
     pairs = [(i, j) for i in range(nb) for j in range(i, nb)]
     pb = min(pair_batch, len(pairs))
@@ -263,9 +285,11 @@ def _gram_blocked_cached(provider, g: int, block: int, out, devs,
         if devs[di] is not None:
             ii = jax.device_put(ii, devs[di])
             jj = jax.device_put(jj, devs[di])
+        cap = caches[di].shape[2] * 128 // block
         pend.append((chunk_pairs, gram_pair_tiles(
             caches[di], ii, jj, block=block, gidbits=gidbits,
-            binner=binner)))
+            binner=binner,
+            out_dtype=jnp.int16 if cap <= 32767 else jnp.int32)))
     for chunk_pairs, dt in pend:
         tiles = np.asarray(dt)
         for p, (bi, bj) in enumerate(chunk_pairs):

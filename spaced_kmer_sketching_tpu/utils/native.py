@@ -86,6 +86,10 @@ def _declare(lib):
         c.c_uint64, c.c_uint64, c.c_int,
         c.c_uint64, c.c_uint64, c.c_int,
         c.POINTER(c.c_uint64), c.c_int64]
+    lib.skt_pack_keys_tight.restype = None
+    lib.skt_pack_keys_tight.argtypes = [
+        c.POINTER(c.c_uint32), c.POINTER(c.c_int32), c.c_int64, c.c_int64,
+        c.c_int, c.c_int, c.POINTER(c.c_uint32)]
     lib.skt_intersect_sorted.restype = c.c_int64
     lib.skt_intersect_sorted.argtypes = [
         c.POINTER(c.c_uint64), c.c_int64, c.POINTER(c.c_uint64), c.c_int64]
@@ -244,6 +248,27 @@ def pack2bit(codes: np.ndarray, n_words: int) -> np.ndarray:
     lib.skt_pack2bit(
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         np.int64(codes.shape[0]), np.int64(n_words),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    return out
+
+
+def pack_keys_tight(keys: np.ndarray, counts: np.ndarray,
+                    key_bits: int) -> np.ndarray:
+    """Bit-tight pack of (g, cap, kw) uint32 sketch keys into
+    (g, cap/4, ceil(4*key_bits/32)) uint32 — see ops/gram tight
+    transport; entries at/past counts pack as 0."""
+    lib = get_lib()
+    assert lib is not None
+    keys = np.ascontiguousarray(keys, dtype=np.uint32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    g, cap, kw = keys.shape
+    assert cap % 4 == 0
+    w4 = (4 * key_bits + 31) // 32
+    out = np.zeros((g, cap // 4, w4), np.uint32)
+    lib.skt_pack_keys_tight(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        np.int64(g), np.int64(cap), int(kw), int(key_bits),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
     return out
 

@@ -350,3 +350,67 @@ def test_gram_pair_tiles_matches_sets(interpret):
     np.testing.assert_array_equal(
         np.diag(tiles[3]), counts[:blk].astype(np.int32))
     np.testing.assert_array_equal(tiles[3], tiles[3].T)
+
+
+def test_tight_key_roundtrip():
+    """Bit-tight slab transport (pack_keys_tight_np -> unpack_keys_tight)
+    reproduces the sentinel-padded key layout exactly for every live-bit
+    width it is used at."""
+    import jax.numpy as jnp
+    from spaced_kmer_sketching_tpu.ops.gram import (_guard_words,
+                                                    pack_keys_tight_np,
+                                                    tight_words4,
+                                                    unpack_keys_tight)
+    rng = np.random.default_rng(17)
+    for kb in (24, 40, 48, 56, 62):
+        g, cap = 5, 64
+        kw = _guard_words(kb)
+        keys = np.full((g, cap, kw), 0xFFFFFFFF, np.uint32)
+        counts = rng.integers(0, cap + 1, g).astype(np.int32)
+        counts[0] = cap                       # full sketch edge
+        counts[1] = 0                         # empty sketch edge
+        for i in range(g):
+            v = np.sort(rng.integers(0, 1 << kb, counts[i]).astype(np.uint64))
+            keys[i, :counts[i], 0] = (v & 0xFFFFFFFF).astype(np.uint32)
+            if kw > 1:
+                keys[i, :counts[i], 1] = (v >> 32).astype(np.uint32)
+        tight = pack_keys_tight_np(keys, counts, kb, use_native=False)
+        assert tight.shape[2] == tight_words4(kb)
+        from spaced_kmer_sketching_tpu.utils import native
+        if native.available():
+            # the native C packer and the numpy fallback must agree
+            np.testing.assert_array_equal(
+                tight, native.pack_keys_tight(keys[:, :, :2], counts, kb))
+        back = np.asarray(unpack_keys_tight(jnp.asarray(tight),
+                                            jnp.asarray(counts), kb, kw))
+        np.testing.assert_array_equal(back, keys)
+
+
+def test_blocked_gram_tight_slab_matches_tile():
+    """The block-cache schedule with bit-tight transport (key_bits=40, the
+    window-20 shape) reproduces the probe-tile matrix."""
+    import jax
+    import jax.numpy as jnp
+    from spaced_kmer_sketching_tpu.ops.intersect import intersection_tile
+    from spaced_kmer_sketching_tpu.parallel.allpairs import blocked_all_pairs
+    from spaced_kmer_sketching_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(23)
+    g, cap, kb = 20, 256, 40
+    keys = np.full((g, cap, 4), 0xFFFFFFFF, np.uint32)
+    counts = np.zeros(g, np.int32)
+    pool = np.unique(rng.integers(0, 1 << kb, 400).astype(np.uint64))
+    for i in range(g):
+        vals = np.unique(rng.choice(pool, 150))
+        counts[i] = vals.size
+        keys[i, :vals.size, 0] = (vals & 0xFFFFFFFF).astype(np.uint32)
+        keys[i, :vals.size, 1] = (vals >> 32).astype(np.uint32)
+        keys[i, :vals.size, 2:] = 0
+    mesh = make_mesh(devices=jax.devices()[:8])
+    want = np.asarray(intersection_tile(jnp.asarray(keys),
+                                        jnp.asarray(counts),
+                                        jnp.asarray(keys),
+                                        jnp.asarray(counts)))
+    got = blocked_all_pairs(mesh, keys, counts, block=128, engine="gram",
+                            key_words=2, key_bits=kb)
+    np.testing.assert_array_equal(got, want)
