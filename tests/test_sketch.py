@@ -174,3 +174,41 @@ def test_upload_cache_identity_and_eviction(monkeypatch):
     e = fm._cached_genome_planes(codes, rid)
     f = fm._cached_genome_planes(codes, rid)
     assert e[0] is not f[0]
+
+
+def test_sketcher_multiseed_matches_per_seed():
+    """FracMinHashSketcher.sketch_packed_multiseed (the user-facing fused
+    multi-seed entry, BASELINE config 3) is bit-identical to sketching
+    each seed mask separately, including the overflow retry."""
+    import numpy as np
+    from spaced_kmer_sketching_tpu.config import SketchConfig
+    from spaced_kmer_sketching_tpu.ingest.fasta import PackedSeqs
+    from spaced_kmer_sketching_tpu.models.fracminhash import (
+        FracMinHashSketcher)
+    from spaced_kmer_sketching_tpu.utils.masks import spaced_seed_mask
+
+    cfg = SketchConfig(window=14, k=9, scale=5)
+    rng = np.random.default_rng(41)
+    packed = PackedSeqs(codes=rng.integers(0, 4, 30000).astype(np.uint8),
+                        run_lens=np.array([12000, 18000], np.int64))
+    sk = FracMinHashSketcher(cfg)
+    fused = sk.sketch_packed_multiseed(packed, seeds=range(3))
+    assert len(fused) == 3
+    for seed, got in zip(range(3), fused):
+        mask = spaced_seed_mask(cfg.window, cfg.k, seed)
+        assert got.mask == mask
+        want = FracMinHashSketcher(cfg, mask=mask).sketch_packed(packed)
+        assert got.count == want.count
+        np.testing.assert_array_equal(got.keys, want.keys)
+
+    # window-mismatched mask is rejected
+    import pytest
+    bad = spaced_seed_mask(20, 9, 0)
+    with pytest.raises(ValueError):
+        sk.sketch_packed_multiseed(packed, masks=[bad])
+
+    # empty genome: one empty sketch per seed
+    empty = PackedSeqs(codes=np.empty(0, np.uint8),
+                       run_lens=np.empty(0, np.int64))
+    outs = sk.sketch_packed_multiseed(empty, seeds=range(2))
+    assert [s.count for s in outs] == [0, 0]
