@@ -253,11 +253,17 @@ def _gram_chunks_packed(sw, gidbits: int, gp: int, chunk: int,
         # S: one-hot genome rows, zeroed for sentinel entries   (B, C, gp)
         s = ((gid[:, :, None] == gids[None, None, :]) & valid[:, :, None]) \
             .astype(jnp.bfloat16)
-        # E: key-equality indicator within each chunk           (B, C, C)
-        eq = jnp.ones((binner, chunk, chunk), jnp.bool_)
+        # E: key-equality indicator within each chunk (B, C, C).  Equal
+        # keys are CONTIGUOUS (the stream is sorted), so E = run-id
+        # equality with run ids from a lane cumsum over neighbor-change
+        # flags — one (B, C, C) compare instead of pw of them.
+        lane = lax.broadcasted_iota(jnp.int32, (binner, chunk), 1)
+        bnd = lane == 0
         for q in range(pw):
-            eq = eq & (kf[q][:, :, None] == kf[q][:, None, :])
-        e = eq.astype(jnp.bfloat16)
+            prev = jnp.concatenate([kf[q][:, :1], kf[q][:, :-1]], axis=1)
+            bnd = bnd | (kf[q] != prev)
+        rid_c = jnp.cumsum(bnd.astype(jnp.int32), axis=1)       # (B, C)
+        e = (rid_c[:, :, None] == rid_c[:, None, :]).astype(jnp.bfloat16)
         sc = s[:, :, c0:]
         # T's 0/1-sum entries are <= chunk=128, exact in bf16 (integers
         # <= 256) — emitting bf16 halves the dominant HBM temporary
