@@ -39,6 +39,10 @@ from jax import lax
 
 _WORD = 32
 
+# Gram chunk-scan matmul dtype: "bf16" (default) or "i8" (both exact —
+# operands and T entries are 0/1; int8 doubles the v5e MXU rate, A/B knob)
+_GRAM_MM = _os.environ.get("SKS_GRAM_MM", "bf16")
+
 
 def build_rank_layout(keys: np.ndarray, counts: np.ndarray, *,
                       tile: int = 2048):
@@ -251,8 +255,9 @@ def _gram_chunks_packed(sw, gidbits: int, gp: int, chunk: int,
         kf = [x[0] & ~gmask] + [x[q] for q in range(1, pw)]
         gid = (x[0] & gmask).astype(jnp.int32)
         # S: one-hot genome rows, zeroed for sentinel entries   (B, C, gp)
+        sdt = jnp.int8 if _GRAM_MM == "i8" else jnp.bfloat16
         s = ((gid[:, :, None] == gids[None, None, :]) & valid[:, :, None]) \
-            .astype(jnp.bfloat16)
+            .astype(sdt)
         # E: key-equality indicator within each chunk (B, C, C).  Equal
         # keys are CONTIGUOUS (the stream is sorted), so E = run-id
         # equality with run ids from a lane cumsum over neighbor-change
@@ -263,15 +268,26 @@ def _gram_chunks_packed(sw, gidbits: int, gp: int, chunk: int,
             prev = jnp.concatenate([kf[q][:, :1], kf[q][:, :-1]], axis=1)
             bnd = bnd | (kf[q] != prev)
         rid_c = jnp.cumsum(bnd.astype(jnp.int32), axis=1)       # (B, C)
-        e = (rid_c[:, :, None] == rid_c[:, None, :]).astype(jnp.bfloat16)
+        e = (rid_c[:, :, None] == rid_c[:, None, :]).astype(sdt)
         sc = s[:, :, c0:]
-        # T's 0/1-sum entries are <= chunk=128, exact in bf16 (integers
-        # <= 256) — emitting bf16 halves the dominant HBM temporary
-        t = lax.dot_general(e, sc, (((2,), (1,)), ((0,), (0,))),
-                            preferred_element_type=jnp.bfloat16)
-        acc = acc + jnp.dot(s[:, :, :r].reshape(binner * chunk, r).T,
-                            t.reshape(binner * chunk, gp - c0),
-                            preferred_element_type=jnp.float32)
+        # T's entries are 0/1 (gids are unique within an equal-key run:
+        # sketch keys are unique per genome), so both matmuls are exact
+        # in EITHER bf16 (default) or int8 (SKS_GRAM_MM=i8, 2x the MXU
+        # rate on v5e; A/B knob)
+        if _GRAM_MM == "i8":
+            t = lax.dot_general(e, sc, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.int32) \
+                .astype(jnp.int8)
+            acc = acc + jnp.dot(
+                s[:, :, :r].reshape(binner * chunk, r).T,
+                t.reshape(binner * chunk, gp - c0),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        else:
+            t = lax.dot_general(e, sc, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.bfloat16)
+            acc = acc + jnp.dot(s[:, :, :r].reshape(binner * chunk, r).T,
+                                t.reshape(binner * chunk, gp - c0),
+                                preferred_element_type=jnp.float32)
         # per-chunk last key + its genome vector a              (B, gp)
         lk = [kf[q][:, -1] for q in range(pw)]
         eql = valid
