@@ -38,12 +38,20 @@ def run_experiment(window_size: int, kmer_size: int, filenames: Sequence[str],
                    sketcher: Optional[FracMinHashSketcher] = None,
                    echo_timings: bool = True,
                    store=None, pairing: str = "all",
-                   make_sketcher=None) -> np.ndarray:
+                   make_sketcher=None, resume_done=None) -> np.ndarray:
     """One (window, k) experiment over `filenames`; returns the flat ANI list
     in reference pair order (all ordered pairs incl. self, row-major).
 
     `make_sketcher` (cfg -> sketcher) selects the execution engine — the
     driver passes parallel.sketcher.MeshSketcher under --mesh.
+
+    `resume_done` (a Counter from store.completed_pairs_in_csv, consumed
+    in place) makes the experiment resumable at PAIR level: rows already
+    present in the output CSV are neither recomputed (a fully-finished
+    config skips sketching entirely) nor rewritten, so a killed sweep
+    rerun appends exactly the missing rows in order — the final CSV is
+    byte-identical to an uninterrupted run (the reference's append-mode
+    accumulation contract, src/kmer-sketching.cpp:53-70).
 
     Parity with test_compute_ANI_estimation_random_spaced_kmers
     (src/kmer-sketching.cpp:151-212)."""
@@ -55,6 +63,26 @@ def run_experiment(window_size: int, kmer_size: int, filenames: Sequence[str],
                            sketch_capacity=cfg.sketch_capacity)
     sk = sketcher or (make_sketcher(cfg) if make_sketcher
                       else FracMinHashSketcher(cfg))
+
+    write_row = None
+    if resume_done is not None:
+        g = len(filenames)
+        idx_pairs = (ring_pair_indices(g) if pairing == "ring"
+                     else all_pair_indices(g))
+        bits = sk.mask.bitstring()
+        write_row = []
+        for i, j in idx_pairs:
+            key = (str(filenames[i]), str(filenames[j]), str(window_size),
+                   bits)
+            if resume_done.get(key, 0) > 0:
+                resume_done[key] -= 1
+                write_row.append(False)
+            else:
+                write_row.append(True)
+        if not any(write_row):
+            log.info("resume: config (w=%d, k=%d) already complete, skipped",
+                     window_size, kmer_size)
+            return np.empty(0)
 
     t0 = time.perf_counter()
     if store is not None:
@@ -85,7 +113,12 @@ def run_experiment(window_size: int, kmer_size: int, filenames: Sequence[str],
         print(f"Time taken for comparison = {(t2 - t1) * 1e3} ms")
     names1 = [str(filenames[i]) for i, _ in pairs]
     names2 = [str(filenames[j]) for _, j in pairs]
-    write_to_csv(names1, names2, list(map(float, ani)), window_size, sk.mask,
+    values = list(map(float, ani))
+    if write_row is not None:
+        names1 = [n for n, w in zip(names1, write_row) if w]
+        names2 = [n for n, w in zip(names2, write_row) if w]
+        values = [v for v, w in zip(values, write_row) if w]
+    write_to_csv(names1, names2, values, window_size, sk.mask,
                  output_filename, is_append)
     return ani
 
@@ -103,10 +136,26 @@ def run_reference_sweep(output_filename: str, filenames: Sequence[str],
                         config: Optional[SketchConfig] = None,
                         echo_timings: bool = True, store=None,
                         make_sketcher=None) -> None:
+    """The reference's 62-config main loop.  With a --store and an existing
+    output CSV, the sweep RESUMES: rows already in the CSV are skipped at
+    pair level (fully-finished configs skip sketching entirely; a config
+    killed mid-write appends only its missing rows), so the final CSV is
+    byte-identical to an uninterrupted run."""
+    import os
+
+    resume_done = None
+    if store is not None and os.path.exists(output_filename):
+        from .store import completed_pairs_in_csv
+        resume_done = completed_pairs_in_csv(output_filename)
+        if resume_done:
+            log.info("resume: %d rows already in %s",
+                     sum(resume_done.values()), output_filename)
     for window, k, is_append in reference_sweep_schedule():
+        if resume_done:
+            is_append = True       # never truncate a CSV being resumed
         run_experiment(window, k, filenames, output_filename, is_append,
                        config=config, echo_timings=echo_timings, store=store,
-                       make_sketcher=make_sketcher)
+                       make_sketcher=make_sketcher, resume_done=resume_done)
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
@@ -182,14 +231,26 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if args.profile:
         import jax
         ctx = jax.profiler.trace(args.profile)
-    with ctx:
-        if args.window is not None:
-            run_experiment(args.window, args.k, args.fastas, args.output_csv,
-                           args.append, config=base, store=store,
-                           pairing=args.pairing, make_sketcher=make_sketcher)
-        else:
-            run_reference_sweep(args.output_csv, args.fastas, config=base,
-                                store=store, make_sketcher=make_sketcher)
+    try:
+        with ctx:
+            if args.window is not None:
+                run_experiment(args.window, args.k, args.fastas,
+                               args.output_csv, args.append, config=base,
+                               store=store, pairing=args.pairing,
+                               make_sketcher=make_sketcher)
+            else:
+                run_reference_sweep(args.output_csv, args.fastas, config=base,
+                                    store=store, make_sketcher=make_sketcher)
+    except FileNotFoundError as e:
+        # reference CLI error parity: an unopenable FASTA prints to stderr
+        # and exits 1 (src/fasta_processing.cpp:86-90) — the exact bytes,
+        # including the trailing space and the leading space on the second
+        # line ("Unable to open <f>. \n Exiting..." << std::endl)
+        msg = str(e)
+        prefix = "Unable to open "
+        fname = msg[len(prefix):] if msg.startswith(prefix) else msg
+        print(f"Unable to open {fname}. \n Exiting...", file=sys.stderr)
+        return 1
     return 0
 
 

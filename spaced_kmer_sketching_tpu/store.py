@@ -89,16 +89,25 @@ class SketchStore:
         return out  # type: ignore[return-value]
 
 
-def completed_pairs_in_csv(csv_path: str) -> set:
-    """(file1, file2, window) triples already present in a results CSV —
-    lets a killed sweep resume without recomputing finished pairs."""
-    done = set()
+def completed_pairs_in_csv(csv_path: str) -> "collections.Counter":
+    """Multiset of (file1, file2, window, mask) rows already present in a
+    results CSV — lets a killed sweep resume without recomputing finished
+    pairs (driver.run_reference_sweep consults this when --store is given).
+
+    The mask column disambiguates sweep configs sharing a window size (the
+    reference schedule has w=20..40 both as contiguous w==k and as spaced
+    w=k+10 configs, src/kmer-sketching.cpp:228-238), and a Counter (not a
+    set) preserves duplicate rows when the same FASTA path is passed twice
+    — the reference writes one row per ordered pair occurrence."""
+    import collections
+
+    done: "collections.Counter" = collections.Counter()
     if not os.path.exists(csv_path):
         return done
     with open(csv_path) as f:
-        header = f.readline()
+        f.readline()                      # header
         for line in f:
             parts = line.rstrip("\n").split(",")
             if len(parts) >= 5:
-                done.add((parts[0], parts[1], parts[3]))
+                done[(parts[0], parts[1], parts[3], parts[4])] += 1
     return done

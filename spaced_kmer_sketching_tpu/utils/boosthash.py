@@ -23,7 +23,7 @@ blocks from seed 0.  ``hash_combine`` changed in boost 1.81:
 
 Both variants are implemented here bit-exactly as vectorized numpy over
 uint64, so the host oracle, the C++ extension, and the on-chip uint32-lane
-implementation (ops/hashing.py) can be cross-checked key-by-key.
+implementation (ops/u64ops.py) can be cross-checked key-by-key.
 """
 from __future__ import annotations
 

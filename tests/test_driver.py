@@ -244,3 +244,56 @@ def test_mesh_driver_csv_identical(tmp_path):
             margs.append("--append")
         assert driver_main(margs) == 0
     assert meshed.read_bytes() == single.read_bytes()
+
+
+def test_missing_fasta_cli_error_parity(tmp_path, capsys):
+    """An unopenable FASTA makes the CLI print the reference's exact stderr
+    bytes and exit 1 (src/fasta_processing.cpp:86-90)."""
+    from spaced_kmer_sketching_tpu.driver import main as driver_main
+    missing = str(tmp_path / "nope.fa")
+    rc = driver_main([str(tmp_path / "o.csv"), missing,
+                      "--window", "12", "--k", "8"])
+    captured = capsys.readouterr()
+    assert rc == 1
+    assert captured.err == f"Unable to open {missing}. \n Exiting...\n"
+
+
+def test_sweep_kill_and_resume_pair_level(tmp_path, monkeypatch):
+    """A sweep killed mid-config and rerun with --store resumes at PAIR
+    level: finished configs are skipped entirely, the interrupted config
+    appends only its missing rows, and the final CSV is byte-identical to
+    an uninterrupted sweep (src/kmer-sketching.cpp:53-70 append contract).
+    The mini-schedule includes two configs sharing window 20 so resume
+    keys must disambiguate by mask."""
+    import spaced_kmer_sketching_tpu.driver as drv
+    from spaced_kmer_sketching_tpu.store import SketchStore
+
+    sched = [(12, 8, False), (20, 20, True), (20, 10, True)]
+    monkeypatch.setattr(drv, "reference_sweep_schedule", lambda: sched)
+    rng = np.random.default_rng(7)
+    paths = [write_fasta(tmp_path / f"g{i}.fa", [random_genome(rng, 1500)])
+             for i in range(3)]
+    cfg = SketchConfig(window=12, k=8, scale=5)
+
+    full = tmp_path / "full.csv"
+    drv.run_reference_sweep(str(full), paths, config=cfg, echo_timings=False,
+                            store=SketchStore(str(tmp_path / "stA")))
+    lines = full.read_text().splitlines(keepends=True)
+    rows_per_cfg = len(paths) ** 2
+    assert len(lines) == 1 + len(sched) * rows_per_cfg
+
+    # simulate a kill 4 rows into config 3 (configs 1-2 fully written)
+    resume = tmp_path / "resume.csv"
+    resume.write_text("".join(lines[:1 + 2 * rows_per_cfg + 4]))
+    sketch_calls = []
+    orig = drv.FracMinHashSketcher.sketch_file
+    monkeypatch.setattr(
+        drv.FracMinHashSketcher, "sketch_file",
+        lambda self, *a, **k: (sketch_calls.append(self.config.window),
+                               orig(self, *a, **k))[1])
+    drv.run_reference_sweep(str(resume), paths, config=cfg,
+                            echo_timings=False,
+                            store=SketchStore(str(tmp_path / "stB")))
+    assert resume.read_bytes() == full.read_bytes()
+    # only the interrupted config re-sketched (configs 1-2 never touched)
+    assert set(sketch_calls) == {20} and len(sketch_calls) == len(paths)

@@ -42,8 +42,12 @@ def test_completed_pairs(tmp_path):
     p = tmp_path / "r.csv"
     p.write_text("File 1,File 2,Estimated Value,Window Size,Mask\n"
                  "a,b,0.9,10,0000\n"
-                 "b,a,0.8,10,0000\n")
+                 "b,a,0.8,10,0000\n"
+                 "b,a,0.8,10,0000\n"       # duplicate row (same path twice)
+                 "a,b,0.7,10,0011\n")      # same window, different mask
     done = completed_pairs_in_csv(str(p))
-    assert ("a", "b", "10") in done and ("b", "a", "10") in done
-    assert ("a", "b", "12") not in done
-    assert completed_pairs_in_csv(str(tmp_path / "missing.csv")) == set()
+    assert done[("a", "b", "10", "0000")] == 1
+    assert done[("b", "a", "10", "0000")] == 2        # multiplicity kept
+    assert done[("a", "b", "10", "0011")] == 1        # mask disambiguates
+    assert done[("a", "b", "12", "0000")] == 0
+    assert len(completed_pairs_in_csv(str(tmp_path / "missing.csv"))) == 0
