@@ -210,7 +210,8 @@ def _pack_gid_planes(keys, gid, key_bits: int, gidbits: int, pw: int):
 
 
 def _gram_chunks_packed(sw, gidbits: int, gp: int, chunk: int,
-                        binner: int = 32, split: int | None = None):
+                        binner: int = 32, split: int | None = None,
+                        vary_axes=()):
     """Gram accumulation over a SORTED packed (key, gid) stream.
 
     sw: pw x (N,) sorted packed words (see _pack_gid_planes).  Returns the
@@ -343,6 +344,12 @@ def _gram_chunks_packed(sw, gidbits: int, gp: int, chunk: int,
     acc0 = jnp.zeros((r, gp - c0), jnp.float32)
     pk0 = [jnp.full((), 0xFFFFFFFF, jnp.uint32) for _ in range(pw)]
     pa0 = jnp.zeros((gp,), jnp.float32)
+    if vary_axes:
+        # under shard_map with device-varying operands the carry inits must
+        # match the body's varying output type (same as gram_accumulate)
+        acc0 = lax.pcast(acc0, tuple(vary_axes), to="varying")
+        pk0 = [lax.pcast(p, tuple(vary_axes), to="varying") for p in pk0]
+        pa0 = lax.pcast(pa0, tuple(vary_axes), to="varying")
     (acc, _, _), _ = lax.scan(body, (acc0, pk0, pa0), xs)
     return acc
 
@@ -633,10 +640,11 @@ def presort_blocks_tight(tight, counts, *, block: int, key_bits: int,
 
 @functools.partial(jax.jit, static_argnames=("block", "gidbits", "chunk",
                                              "binner", "out_dtype",
-                                             "interpret"))
+                                             "interpret", "vary_axes"))
 def gram_pair_tiles(cache, ii, jj, *, block: int, gidbits: int,
                     chunk: int = 128, binner: int = 32,
-                    out_dtype=jnp.int32, interpret: bool = False):
+                    out_dtype=jnp.int32, interpret: bool = False,
+                    vary_axes=()):
     """Batched macro-tiles: cache (nb, pw, rows, 128) per-block sorted
     packed planes (presort_block_packed), ii/jj (P,) int32 block indices
     with ii <= jj -> (P, block, block) int32 rect intersection tiles
@@ -692,7 +700,8 @@ def gram_pair_tiles(cache, ii, jj, *, block: int, gidbits: int,
             return None, acc
         sw = [p.reshape(n) for p in merged]
         acc = _gram_chunks_packed(sw, gidbits, 2 * block, chunk,
-                                  binner=binner, split=block)
+                                  binner=binner, split=block,
+                                  vary_axes=vary_axes)
         # int16 when the caller knows counts fit (cap <= 32767) — the
         # result download is half the bytes through the host tunnel
         return None, acc.astype(out_dtype)

@@ -13,13 +13,15 @@ recomputes containment/ANI in host f64 (ani.py).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.intersect import intersection_tile
-from .mesh import COL_AXIS, ROW_AXIS
+from .mesh import COL_AXIS, ROW_AXIS, pad_to_multiple
 
 
 def sharded_all_pairs_fn(mesh: Mesh):
@@ -273,6 +275,24 @@ def _gram_blocked_cached(provider, g: int, block: int, out, devs,
                 slab, block=block, key_bits=key_bits, gidbits=gidbits,
                 pw=pw))
 
+    return pair_tile_sweep(caches, g, block, out, devs, gidbits=gidbits,
+                           binner=binner, pair_batch=pair_batch)
+
+
+def pair_tile_sweep(caches, g: int, block: int, out, devs, *, gidbits: int,
+                    binner: int, pair_batch: int = 256):
+    """Upper-triangle macro-tile sweep over per-device presorted caches:
+    batches of pair_batch tiles dispatch round-robin over `devs` (pair-level
+    data parallelism, the reference's cilk_for over pairs,
+    src/kmer_set.cpp:179), each batch ONE gram_pair_tiles program; results
+    are collected after the full dispatch sweep and mirrored into `out`
+    (intersections are symmetric).  `caches[d]` is device d's replica of
+    the (nb, pw, rows, 128) presort_blocks_packed cache."""
+    import numpy as np
+
+    from ..ops.gram import gram_pair_tiles
+
+    nb = (g + block - 1) // block
     pairs = [(i, j) for i in range(nb) for j in range(i, nb)]
     pb = min(pair_batch, len(pairs))
     pend = []
@@ -299,6 +319,86 @@ def _gram_blocked_cached(provider, g: int, block: int, out, devs,
             out[r0:r1, c0:c1] = t[:r1 - r0, :c1 - c0]
             if bj != bi:
                 out[c0:c1, r0:r1] = t[:r1 - r0, :c1 - c0].T
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def _mesh_tiles_fn(mesh: Mesh, block: int, gidbits: int, binner: int,
+                   int16: bool):
+    """Jitted (cache (nb, pw, rows, 128) replicated, ii/jj (P,) sharded)
+    -> (P, block, block) tiles sharded over every mesh device: each device
+    scans ITS slice of the macro-tile list against its cache replica —
+    pair-level data parallelism in one program."""
+    from ..ops.gram import gram_pair_tiles
+
+    def local(cache, ii, jj):
+        return gram_pair_tiles(cache, ii, jj, block=block, gidbits=gidbits,
+                               binner=binner,
+                               out_dtype=jnp.int16 if int16 else jnp.int32,
+                               vary_axes=(ROW_AXIS, COL_AXIS))
+
+    sharded = shard_map(local, mesh=mesh,
+                        in_specs=(P(), P((ROW_AXIS, COL_AXIS)),
+                                  P((ROW_AXIS, COL_AXIS))),
+                        out_specs=P((ROW_AXIS, COL_AXIS)))
+    return jax.jit(sharded)
+
+
+def mesh_all_pairs_packed(mesh: Mesh, put, get, keys_np, counts_np, *,
+                          block: int = 128, key_bits: int = 128):
+    """(G, G) int32 all-pairs intersections over the mesh via the on-device
+    packed (key, gid) engine — the HOST-FREE mesh path: one replicated slab
+    upload, a single scanned presort of every block (replicated per
+    device), and the upper-triangle macro-tiles sharded over every mesh
+    device in ONE program.  Replaces the host rank-layout build
+    (ops/gram.build_rank_layout) that made the round-3 mesh path
+    host-bound; bit-identical to the single-device gram engines (the
+    scan/merge machinery is shared).  The reference's cilk_for over pairs
+    at mesh scale, src/kmer_set.cpp:179.
+
+    put/get: placement callables (MeshSketcher._put/_get) handling the
+    multi-process global-array conventions."""
+    import numpy as np
+
+    from ..ops.gram import _guard_words, pack_plan, presort_blocks_packed
+
+    g, cap, kw_in = keys_np.shape
+    kw = min(kw_in, _guard_words(key_bits))
+    nb = max(1, (g + block - 1) // block)
+    capp = pad_to_multiple(max(cap, 128), 128)
+    gp = nb * block
+    slab = np.full((gp, capp, kw), 0xFFFFFFFF, np.uint32)
+    slab[:g, :cap] = keys_np[:, :, :kw]
+    # sentinel rows past each sketch's count are already in keys_np's
+    # padding; rows past g are whole sentinel pseudo-sketches (sort to the
+    # back, contribute nothing)
+
+    gidbits = max(1, (2 * block - 1).bit_length())
+    pw = pack_plan(key_bits, gidbits)
+    dslab = put(slab, P())
+    cache = presort_blocks_packed(dslab, block=block, key_bits=key_bits,
+                                  gidbits=gidbits, pw=pw)
+
+    mesh_size = int(np.prod(list(mesh.shape.values())))
+    pairs = [(i, j) for i in range(nb) for j in range(i, nb)]
+    npairs = len(pairs)
+    pp = pad_to_multiple(npairs, mesh_size)
+    arr = np.array(pairs + [(0, 0)] * (pp - npairs), np.int32)
+    binner = 128 if block <= 256 else 32
+    fn = _mesh_tiles_fn(mesh, block, gidbits, binner, capp <= 32767)
+    tiles = get(fn(cache, put(arr[:, 0], P((ROW_AXIS, COL_AXIS))),
+                   put(arr[:, 1], P((ROW_AXIS, COL_AXIS)))))
+
+    out = np.zeros((g, g), np.int32)
+    for p, (bi, bj) in enumerate(pairs):
+        r0, r1 = bi * block, min(g, (bi + 1) * block)
+        c0, c1 = bj * block, min(g, (bj + 1) * block)
+        if r0 >= g or c0 >= g:
+            continue
+        t = tiles[p]
+        out[r0:r1, c0:c1] = t[:r1 - r0, :c1 - c0]
+        if bj != bi:
+            out[c0:c1, r0:r1] = t[:r1 - r0, :c1 - c0].T
     return out
 
 

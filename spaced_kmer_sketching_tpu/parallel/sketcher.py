@@ -208,30 +208,29 @@ class MeshSketcher(FracMinHashSketcher):
     # ---- sharded all-pairs --------------------------------------------------
     def all_pairs_intersections(self, sketches: Sequence[Sketch],
                                 tile: int = 64) -> np.ndarray:
-        """(G, G) intersections with the union-rank tile axis of the MXU
-        Gram formulation sharded over every mesh device (psum merge) —
-        the mesh analog of the reference's cilk_for over pairs
-        (src/kmer_set.cpp:179)."""
-        from ..ops.gram import build_rank_layout
-        from .allpairs import sharded_gram_fn
+        """(G, G) intersections via the on-device packed (key, gid) engine
+        sharded over the mesh (parallel/allpairs.mesh_all_pairs_packed):
+        one replicated slab upload, device-side block presort, and the
+        upper-triangle macro-tiles split across every mesh device in one
+        program — NO host rank-layout build (the round-3 path's
+        build_rank_layout cost ~23 s/config of host time).  The mesh
+        analog of the reference's cilk_for over pairs
+        (src/kmer_set.cpp:179); bit-identical to the single-device gram
+        engines."""
+        from ..ops.gram import _guard_words
+        from .allpairs import mesh_all_pairs_packed
 
         g = len(sketches)
         cap = max(1, _next_pow2(max([s.count for s in sketches] or [1])))
-        keys = np.full((g, cap, 4), 0xFFFFFFFF, dtype=np.uint32)
+        key_bits = min(128, 2 * self.config.window)
+        kw = min(4, _guard_words(key_bits))
+        keys = np.full((g, cap, kw), 0xFFFFFFFF, dtype=np.uint32)
         counts = np.zeros(g, dtype=np.int32)
         for i, s in enumerate(sketches):
-            keys[i, :s.count] = s.keys
+            keys[i, :s.count] = s.keys[:, :kw]
             counts[i] = s.count
-        packed, _ = build_rank_layout(keys, counts)
-        nt = packed.shape[0]
-        ntp = pad_to_multiple(nt, self.mesh_size)
-        if ntp != nt:           # all-zero tiles contribute nothing
-            packed = np.concatenate(
-                [packed, np.zeros((ntp - nt,) + packed.shape[1:],
-                                  packed.dtype)])
-        fn = sharded_gram_fn(self.mesh)
-        out = self._get(fn(self._put(packed, P((ROW_AXIS, COL_AXIS)))))
-        return out[:g, :g]
+        return mesh_all_pairs_packed(self.mesh, self._put, self._get,
+                                     keys, counts, key_bits=key_bits)
 
     def all_pairs_intersections_shardmap(self, sketches: Sequence[Sketch],
                                          tile: int = 64) -> np.ndarray:

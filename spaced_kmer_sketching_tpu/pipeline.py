@@ -1,0 +1,347 @@
+"""Device-resident end-to-end pipeline: genomes -> sketches BORN ON DEVICE
+-> per-block presorted (key, gid) caches -> batched macro-tiles -> (G, G)
+intersections -> ANI.
+
+The round-3 flagship schedule paid ~45% of its config-4 wall re-uploading a
+sketch slab the device had just computed: `FracMinHashSketcher.sketch_files`
+downloads every sketch to numpy and `parallel.allpairs.blocked_all_pairs`
+re-packs and re-uploads them as a slab.  Here the sketch step's device keys
+feed `ops.gram.presort_block_packed` directly — the only bytes crossing the
+host boundary are the compact 2-bit genome uploads (ingest), per-genome
+count scalars, and the int16 result tiles.  Mirrors the reference's
+one-flow experiment (sketch all files -> all-pairs intersections -> ANI,
+src/kmer-sketching.cpp:151-212) at production scale; the store-backed /
+already-downloaded-sketch cases keep the blocked_all_pairs slab path.
+
+Flow per 128-genome block (double-buffered: host ingest of dispatch k+1
+overlaps device sketching of dispatch k):
+
+    ingest (parse -> 2-bit pack, native C++)        [host]
+    -> compact upload (~0.25 B/nt)                   [tunnel]
+    -> extract + FracMinHash + sort-unique           [device, Pallas]
+    -> slice live key words, stack 128 genomes       [device]
+    -> presort_block_packed (packed (key, gid))      [device]
+    -> gram_pair_tiles macro-tile batches            [device, MXU]
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .ingest.fasta import PackedSeqs, read_fasta
+from .models.fracminhash import FracMinHashSketcher, _bucket_size
+from .observability import get_logger, span
+from .utils import native
+
+log = get_logger(__name__)
+
+_SENT = np.uint32(0xFFFFFFFF)
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    """(G, G) intersection matrix + everything needed for ANI/verification."""
+    inter: np.ndarray            # (G, G) int32 |A_i ∩ A_j|
+    counts: np.ndarray           # (G,) int32 sketch sizes (ANI denominators)
+    phases: Dict[str, float]     # seconds per phase (wall; phases overlap)
+    bytes_h2d: int               # host->device payload bytes (ingest + idx)
+    bytes_d2h: int               # device->host payload bytes (tiles, counts)
+    sample_keys: Dict[int, np.ndarray]   # gid -> (count, 2) u64 sketch keys
+
+
+class _CapacityOverflow(Exception):
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+
+
+# --- genome sources ---------------------------------------------------------
+#
+# A source is `load(s0, s1) -> list[PackedSeqs] | _DevicePlanes` for genome
+# ids [s0, s1).  PackedSeqs batches are packed host-side (native 2-bit) and
+# shipped compact; _DevicePlanes carries already-on-device packed planes
+# (e.g. synthesized by the device RNG) so ingest crosses zero host bytes.
+
+@dataclasses.dataclass
+class _DevicePlanes:
+    p: jnp.ndarray               # (g, body/16) uint32 2-bit packed codes
+    bounds: np.ndarray           # (g, K) int32 interior run starts (pad body)
+    rid0: np.ndarray             # (g,) int32
+    valid_len: np.ndarray        # (g,) int32
+
+
+def file_source(paths: Sequence[str], max_workers: int = 8) -> Callable:
+    """Parse FASTA files [s0, s1) with a host thread pool (the reference's
+    cilk_for-over-files ingest, src/kmer_set.cpp:124)."""
+    import concurrent.futures as cf
+
+    pool = cf.ThreadPoolExecutor(max_workers=max_workers)
+
+    def load(s0: int, s1: int) -> List[PackedSeqs]:
+        return list(pool.map(read_fasta, paths[s0:s1]))
+    return load
+
+
+def codes_source(g: int, n: int, seed: int = 0) -> Callable:
+    """Synthetic host genomes: one deterministic random run per genome."""
+    def load(s0: int, s1: int) -> List[PackedSeqs]:
+        out = []
+        for i in range(s0, s1):
+            rng = np.random.default_rng(seed * 1_000_003 + i)
+            out.append(PackedSeqs(
+                codes=rng.integers(0, 4, n).astype(np.uint8),
+                run_lens=np.array([n], np.int64)))
+        return out
+    return load
+
+
+def device_source(g: int, n: int, seed: int = 0) -> Callable:
+    """Genomes synthesized ON DEVICE (every uint32 bit pair is a valid 2-bit
+    code): the zero-ingest source measuring the pure device-resident path —
+    what a pipeline whose genomes already live in HBM (e.g. a prior stage's
+    output) pays."""
+    from .ops.pallas.extract import packed_body
+
+    if jax.default_backend() != "tpu":
+        raise NotImplementedError(
+            "device_source feeds the compact Pallas sketch path (TPU only);"
+            " use codes_source on other backends")
+    body = packed_body(n)
+
+    def load(s0: int, s1: int) -> _DevicePlanes:
+        gg = s1 - s0
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), s0)
+        p = jax.random.bits(key, (gg, body // 16), jnp.uint32)
+        return _DevicePlanes(
+            p=p, bounds=np.full((gg, 1), body, np.int32),
+            rid0=np.zeros(gg, np.int32),
+            valid_len=np.full(gg, n, np.int32))
+    return load
+
+
+# --- the pipeline -----------------------------------------------------------
+
+class DevicePipeline:
+    """End-to-end FASTA/codes -> (G, G) intersections with device-resident
+    sketches.  `block` is the presort-cache genome block (128 = the measured
+    per-pair FLOP optimum of the blocked schedule); `dispatch` genomes ride
+    each sketch program (block % dispatch == 0)."""
+
+    def __init__(self, sketcher: FracMinHashSketcher, *, block: int = 128,
+                 dispatch: int = 32, pair_batch: int = 256):
+        if block % 128 or block & (block - 1):
+            raise ValueError("block must be a power-of-two multiple of 128")
+        if block % dispatch:
+            raise ValueError("block must be a multiple of dispatch")
+        self.sk = sketcher
+        self.block = block
+        self.dispatch = dispatch
+        self.pair_batch = pair_batch
+
+    # -- sketch dispatch ------------------------------------------------
+    def _dispatch(self, batch, n: int, capacity: int):
+        """Async-dispatch one genome sub-batch; returns the SketchBatch
+        future (keys stay on device)."""
+        cfg = self.sk.config
+        if isinstance(batch, _DevicePlanes):
+            from .ops.sketch import jitted_sketch_batch_compact
+            fn = jitted_sketch_batch_compact(
+                n, cfg.window, self.sk.salt, cfg.scale, cfg.hash_variant,
+                capacity)
+            return fn(batch.p, jnp.asarray(batch.bounds),
+                      jnp.asarray(batch.rid0), jnp.asarray(batch.valid_len),
+                      self.sk._mask_words), 0
+        if jax.default_backend() == "tpu" and native.available():
+            from .ops.pallas.extract import packed_body
+            from .ops.sketch import jitted_sketch_batch_compact
+            body = packed_body(n)
+            g = len(batch)
+            runs_max = max(1, max(pk.run_lens.size - 1 for pk in batch))
+            k = 1 << max(3, (runs_max - 1).bit_length())
+            p = np.empty((g, body // 16), np.uint32)
+            bounds = np.full((g, k), body, np.int32)
+            vlen = np.zeros(g, np.int32)
+            for i, pk in enumerate(batch):
+                p[i] = native.pack2bit(pk.codes, body // 16)
+                starts = np.cumsum(pk.run_lens)[:-1]
+                bounds[i, :starts.size] = starts
+                vlen[i] = pk.codes.size
+            rid0 = np.zeros(g, np.int32)
+            fn = jitted_sketch_batch_compact(
+                n, cfg.window, self.sk.salt, cfg.scale, cfg.hash_variant,
+                capacity)
+            h2d = p.nbytes + bounds.nbytes + vlen.nbytes + rid0.nbytes
+            return fn(jnp.asarray(p), jnp.asarray(bounds),
+                      jnp.asarray(rid0), jnp.asarray(vlen),
+                      self.sk._mask_words), h2d
+        # portable path (CPU tests): full code planes + run ids
+        from .ops.sketch import jitted_sketch_batch
+        npad = _bucket_size(n + cfg.window)
+        g = len(batch)
+        codes = np.zeros((g, npad), np.uint32)
+        run_id = np.full((g, npad), -1, np.int32)
+        for i, pk in enumerate(batch):
+            codes[i, :pk.codes.size] = pk.codes
+            pos = 0
+            for r, ln in enumerate(pk.run_lens):
+                run_id[i, pos:pos + int(ln)] = r
+                pos += int(ln)
+        fn = jitted_sketch_batch(cfg.window, self.sk.salt, cfg.scale,
+                                 cfg.hash_variant, capacity)
+        return (fn(jnp.asarray(codes), jnp.asarray(run_id),
+                   self.sk._mask_words),
+                codes.nbytes + run_id.nbytes)
+
+    # -- run --------------------------------------------------------------
+    def all_pairs(self, source: Callable, g: int, n: int, *,
+                  verify_ids: Sequence[int] = ()) -> PipelineResult:
+        """source(s0, s1) yields genomes [s0, s1); `n` is the nominal
+        (maximum) genome length shaping the static programs.  Returns the
+        full ordered (G, G) intersection matrix (reference all-pairs incl.
+        self, src/generators.hpp:45-58)."""
+        cfg = self.sk.config
+        nw = n - cfg.window + 1
+        if nw <= 0:
+            raise ValueError("nominal genome length below window")
+        capacity = cfg.capacity_for(nw)
+        while True:
+            try:
+                return self._all_pairs_once(source, g, n, capacity,
+                                            set(verify_ids))
+            except _CapacityOverflow as e:
+                log.info("pipeline sketch overflow -> retry cap=%d",
+                         e.capacity)
+                capacity = e.capacity
+
+    def _all_pairs_once(self, source, g: int, n: int, capacity: int,
+                        verify_ids) -> PipelineResult:
+        from .ops.gram import _guard_words, pack_plan, presort_block_packed
+        from .parallel.allpairs import pair_tile_sweep
+
+        cfg = self.sk.config
+        block, dispatch = self.block, self.dispatch
+        key_bits = min(128, 2 * cfg.window)
+        kw = min(4, _guard_words(key_bits))
+        gidbits = max(1, (2 * block - 1).bit_length())
+        pw = pack_plan(key_bits, gidbits)
+        nb = (g + block - 1) // block
+
+        phases = {"ingest_s": 0.0, "sketch_s": 0.0, "presort_s": 0.0,
+                  "allpairs_s": 0.0}
+        bytes_h2d = 0
+        bytes_d2h = 0
+        counts = np.zeros(g, np.int32)
+        sample_keys: Dict[int, np.ndarray] = {}
+        caches = []          # per-block (pw, rows, 128) device caches
+        parts: List[Tuple[int, jnp.ndarray]] = []   # collected (s0, keys)
+        t_start = time.perf_counter()
+
+        def collect(pending):
+            nonlocal bytes_d2h
+            s0, s1, res = pending
+            t0 = time.perf_counter()
+            raws = np.asarray(res.raw_kept)
+            phases["sketch_s"] += time.perf_counter() - t0
+            if int(raws.max()) > capacity:
+                raise _CapacityOverflow(
+                    1 << math.ceil(math.log2(int(raws.max()) + 1)))
+            cnt = np.asarray(res.count)
+            counts[s0:s1] = cnt
+            bytes_d2h += raws.nbytes + cnt.nbytes
+            for i in range(s0, s1):
+                if i in verify_ids:
+                    k = np.asarray(res.keys[i - s0, :int(cnt[i - s0])]) \
+                        .astype(np.uint64)
+                    sample_keys[i] = np.ascontiguousarray(np.stack(
+                        [k[:, 0] | (k[:, 1] << np.uint64(32)),
+                         k[:, 2] | (k[:, 3] << np.uint64(32))], axis=1))
+                    bytes_d2h += int(cnt[i - s0]) * 16
+            parts.append((s0, res.keys[:, :, :kw]))
+            flush_blocks()
+
+        def flush_blocks():
+            # presort every fully-collected block, freeing its key parts
+            # (sub-batches collect in genome order, so blocks complete in
+            # order too)
+            while parts:
+                b = len(caches)
+                i0, i1 = b * block, min(g, (b + 1) * block)
+                have = sum(p[1].shape[0] for p in parts
+                           if i0 <= p[0] < i1)
+                if have < i1 - i0:
+                    return
+                t0 = time.perf_counter()
+                seg = sorted(p for p in parts if i0 <= p[0] < i1)
+                for p in seg:
+                    parts.remove(p)
+                kb = jnp.concatenate([p[1] for p in seg])
+                if i1 - i0 < block:        # ragged tail: sentinel sketches
+                    pad = jnp.full((block - (i1 - i0), capacity, kw),
+                                   _SENT, jnp.uint32)
+                    kb = jnp.concatenate([kb, pad])
+                caches.append(presort_block_packed(
+                    kb, key_bits=key_bits, gidbits=gidbits, pw=pw))
+                phases["presort_s"] += time.perf_counter() - t0
+
+        with span("sketching", log):
+            pending = None
+            for s0 in range(0, g, dispatch):
+                s1 = min(g, s0 + dispatch)
+                t0 = time.perf_counter()
+                batch = source(s0, s1)
+                phases["ingest_s"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                res, h2d = self._dispatch(batch, n, capacity)
+                bytes_h2d += h2d
+                phases["sketch_s"] += time.perf_counter() - t0
+                if pending is not None:
+                    collect(pending)       # overlaps the new dispatch
+                pending = (s0, s1, res)
+            if pending is not None:
+                collect(pending)
+            flush_blocks()
+            assert not parts and len(caches) == nb
+
+        with span("comparison", log):
+            t0 = time.perf_counter()
+            cache = jnp.stack(caches)
+            del caches
+            out = np.zeros((g, g), np.int32)
+            binner = 128 if block <= 256 else 32
+            pair_tile_sweep([cache], g, block, out, [None], gidbits=gidbits,
+                            binner=binner, pair_batch=self.pair_batch)
+            phases["allpairs_s"] = time.perf_counter() - t0
+            npairs = nb * (nb + 1) // 2
+            bytes_d2h += npairs * block * block * (
+                2 if capacity <= 32767 else 4)
+
+        phases["total_s"] = time.perf_counter() - t_start
+        return PipelineResult(inter=out, counts=counts, phases=phases,
+                              bytes_h2d=bytes_h2d, bytes_d2h=bytes_d2h,
+                              sample_keys=sample_keys)
+
+
+def all_pairs_from_files(sketcher: FracMinHashSketcher,
+                         paths: Sequence[str], *, block: int = 128,
+                         dispatch: int = 32, pair_batch: int = 256,
+                         max_workers: int = 8,
+                         verify_ids: Sequence[int] = ()) -> PipelineResult:
+    """One-flow FASTA files -> (G, G) intersection matrix with
+    device-resident sketches (the reference experiment's sketch+compare
+    flow, src/kmer-sketching.cpp:151-212).  The nominal genome length is
+    bounded by the largest file size (a FASTA file's code count never
+    exceeds its byte size)."""
+    import os
+
+    n = max(os.path.getsize(p) for p in paths)
+    n = max(n, sketcher.config.window + 1)
+    pipe = DevicePipeline(sketcher, block=block, dispatch=dispatch,
+                          pair_batch=pair_batch)
+    return pipe.all_pairs(file_source(paths, max_workers), len(paths), n,
+                          verify_ids=verify_ids)

@@ -1,0 +1,103 @@
+"""Device-resident end-to-end pipeline (pipeline.py): FASTA/codes ->
+sketches born on device -> block presort caches -> macro-tiles, bit-exact
+against the download-then-reupload path and the oracle."""
+import numpy as np
+import pytest
+
+from spaced_kmer_sketching_tpu.config import SketchConfig
+from spaced_kmer_sketching_tpu.models.fracminhash import FracMinHashSketcher
+from spaced_kmer_sketching_tpu.pipeline import (DevicePipeline,
+                                                all_pairs_from_files,
+                                                codes_source)
+
+from test_driver import write_fasta
+from oracle import random_genome
+
+
+def _reference_matrix(sk, sketches):
+    """Host sorted-merge intersection counts (independent engine)."""
+    g = len(sketches)
+    u64 = [s.keys_u64() for s in sketches]
+    out = np.zeros((g, g), np.int32)
+    for i in range(g):
+        for j in range(g):
+            a, b = u64[i], u64[j]
+            ai = bi = c = 0
+            while ai < len(a) and bi < len(b):
+                ka, kb = tuple(a[ai]), tuple(b[bi])
+                if ka == kb:
+                    c += 1
+                    ai += 1
+                    bi += 1
+                elif (ka[1], ka[0]) < (kb[1], kb[0]):
+                    ai += 1
+                else:
+                    bi += 1
+            out[i, j] = c
+    return out
+
+
+def test_pipeline_matches_sketch_files_path(tmp_path):
+    """all_pairs_from_files == sketch_files + all_pairs_intersections
+    (counts AND full matrix), including a ragged tail block and multi-run
+    genomes."""
+    rng = np.random.default_rng(11)
+    paths = []
+    for i in range(10):
+        g0 = random_genome(rng, 1400 + 37 * i)     # varying lengths
+        paths.append(write_fasta(tmp_path / f"g{i}.fa", [g0]))
+    cfg = SketchConfig(window=12, k=8, scale=5)
+    sk = FracMinHashSketcher(cfg)
+
+    res = all_pairs_from_files(sk, paths, dispatch=4)
+    sketches = sk.sketch_files(paths)
+    np.testing.assert_array_equal(res.counts,
+                                  np.array([s.count for s in sketches]))
+    want = _reference_matrix(sk, sketches)
+    np.testing.assert_array_equal(res.inter, want)
+    assert res.phases["total_s"] > 0
+    np.testing.assert_array_equal(np.diag(res.inter), res.counts)
+
+
+def test_pipeline_codes_source_and_verify_keys():
+    """codes_source genomes: sampled device key downloads match the
+    sketches computed independently, and the matrix is symmetric with the
+    diagonal equal to sketch sizes."""
+    from spaced_kmer_sketching_tpu.ingest.fasta import PackedSeqs
+
+    cfg = SketchConfig(window=14, k=10, scale=4)
+    sk = FracMinHashSketcher(cfg)
+    g, n = 6, 2000
+    src = codes_source(g, n, seed=3)
+    pipe = DevicePipeline(sk, dispatch=2)
+    res = pipe.all_pairs(src, g, n, verify_ids=[0, 3, 5])
+
+    assert set(res.sample_keys) == {0, 3, 5}
+    for i in (0, 3, 5):
+        pk = src(i, i + 1)[0]
+        want = sk.sketch_packed(pk)
+        assert res.counts[i] == want.count
+        np.testing.assert_array_equal(res.sample_keys[i], want.keys_u64())
+    np.testing.assert_array_equal(res.inter, res.inter.T)
+    np.testing.assert_array_equal(np.diag(res.inter), res.counts)
+
+
+def test_pipeline_multirecord_and_non_acgt(tmp_path):
+    """Run-split genomes (non-ACGT characters) flow through the compact
+    bounds path identically to read_fasta + sketch_packed."""
+    cfg = SketchConfig(window=10, k=7, scale=3)
+    sk = FracMinHashSketcher(cfg)
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(3):
+        # two records, one with an embedded run break
+        with open(tmp_path / f"m{i}.fa", "w") as f:
+            s1 = "".join("ACGT"[c] for c in random_genome(rng, 700))
+            s2 = "".join("ACGT"[c] for c in random_genome(rng, 500))
+            f.write(f">a{i}\n{s1[:300]}NN{s1[300:]}\n>b{i}\n{s2}\n")
+        paths.append(str(tmp_path / f"m{i}.fa"))
+    res = all_pairs_from_files(sk, paths, dispatch=2)
+    sketches = sk.sketch_files(paths)
+    np.testing.assert_array_equal(res.counts,
+                                  np.array([s.count for s in sketches]))
+    np.testing.assert_array_equal(res.inter, _reference_matrix(sk, sketches))
