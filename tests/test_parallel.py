@@ -404,3 +404,59 @@ def test_blocked_all_pairs_budget_fallback(monkeypatch):
     got = blocked_all_pairs(mesh, keys, counts, block=128, engine="gram",
                             key_words=2, key_bits=45)
     np.testing.assert_array_equal(got, want)
+
+
+def test_mesh_streaming_bitexact_and_routing(tmp_path, monkeypatch):
+    """MeshSketcher.sketch_file_streaming (sequence-parallel segments over
+    the halo ring, compact 2-bit uploads) is bit-identical to the
+    single-device whole-file sketch AND the single-device streaming path,
+    including non-ACGT run splits straddling segment boundaries; and
+    MeshSketcher.sketch_files routes big files through it."""
+    from spaced_kmer_sketching_tpu.config import SketchConfig
+    from spaced_kmer_sketching_tpu.models.fracminhash import (
+        FracMinHashSketcher)
+    from spaced_kmer_sketching_tpu.parallel.mesh import make_mesh
+    from spaced_kmer_sketching_tpu.parallel.sketcher import MeshSketcher
+
+    rng = np.random.default_rng(23)
+    n = 200_000
+    chars = np.frombuffer(b"ACGT", np.uint8)[
+        rng.integers(0, 4, n)].astype(np.uint8)
+    # non-ACGT splits, one of which lands near a segment boundary
+    for pos in (1234, 65_530, 65_540, 150_001):
+        chars[pos] = ord("N")
+    body = chars.tobytes().decode()
+    big = tmp_path / "big.fa"
+    big.write_text(f">r0\n{body[:100_000]}\n>r1\n{body[100_000:]}\n")
+    small = tmp_path / "small.fa"
+    small.write_text(f">s\n{body[:3000]}\n")
+
+    cfg = SketchConfig(window=16, k=12, scale=10)
+    single = FracMinHashSketcher(cfg)
+    want = single.sketch_file(str(big))
+    want_stream = single.sketch_file_streaming(str(big), segment_nt=1 << 16)
+    assert want_stream.count == want.count
+    np.testing.assert_array_equal(want_stream.keys, want.keys)
+
+    mesh = make_mesh(devices=jax.devices()[:8])
+    ms = MeshSketcher(cfg, mesh, seq_par_threshold=1)
+    got = ms.sketch_file_streaming(str(big), segment_nt=1 << 16)
+    assert got.count == want.count
+    np.testing.assert_array_equal(got.keys, want.keys)
+
+    # sketch_files routes files past the threshold through mesh streaming
+    calls = []
+    orig = MeshSketcher.sketch_file_streaming
+    monkeypatch.setattr(MeshSketcher, "_STREAM_THRESHOLD_BYTES", 50_000)
+    monkeypatch.setattr(
+        MeshSketcher, "sketch_file_streaming",
+        lambda self, p, segment_nt=1 << 24, name="": (
+            calls.append(p),
+            orig(self, p, segment_nt=1 << 16, name=name))[1])
+    outs = ms.sketch_files([str(big), str(small)])
+    assert calls == [str(big)]
+    assert outs[0].count == want.count
+    np.testing.assert_array_equal(outs[0].keys, want.keys)
+    want_small = single.sketch_file(str(small))
+    assert outs[1].count == want_small.count
+    np.testing.assert_array_equal(outs[1].keys, want_small.keys)

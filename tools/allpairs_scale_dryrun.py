@@ -1,21 +1,24 @@
 """10k-genome all-pairs schedule dry-run (SURVEY.md §7 hard part 4).
 
-Runs the blocked block-row/column schedule over virtual CPU meshes of
-1/2/4/8 devices, reports pairs/s and scaling efficiency, and projects the
-wall time for a 10^8-pair (10k genome) matrix on a v5e-16 slice using the
-real single-chip rate from `python bench.py --mode allpairs` (pass it via
---chip-pairs-per-s).
+Runs the blocked all-pairs schedule over virtual CPU meshes of 1/2/4/8
+devices, measures pairs/s and scaling efficiency, and emits ONE JSON line
+(optionally written to --out) so the measurement is a committed artifact
+(SCALING.json) rather than a prose claim.  With --chip-pairs-per-s (the
+real single-chip rate from `python bench.py --mode allpairs` or `--mode
+e2e`) it also emits the v5e-16 projection WITH its input numbers.
 
 Virtual CPU devices share this host's cores, so the efficiency measured
-here is a SCHEDULE overhead check (resharding, tile launch), not a hardware
-scaling claim; the per-chip rate comes from the real TPU bench.
+here is a SCHEDULE overhead check (resharding, tile launch, collective
+insertion) — an upper bound on scheduling loss, not a hardware scaling
+claim; the per-chip rate comes from the real TPU bench.
 
 Usage:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python tools/allpairs_scale_dryrun.py [--genomes 512] [--cap 1024] \
-      [--chip-pairs-per-s RATE]
+      [--engine gram|probe|mesh] [--chip-pairs-per-s RATE] [--out FILE]
 """
 import argparse
+import json
 import os
 import sys
 import time
@@ -31,17 +34,22 @@ def main():
     ap.add_argument("--cap", type=int, default=1024)
     ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--chip-pairs-per-s", type=float, default=None)
-    ap.add_argument("--engine", default="probe",
-                    choices=("probe", "gram"),
+    ap.add_argument("--out", default=None,
+                    help="also append the JSON line to this file")
+    ap.add_argument("--engine", default="mesh",
+                    choices=("probe", "gram", "mesh"),
                     help="probe: shard_map rect tiles over the mesh; "
-                         "gram: the round-3 block-cache schedule (per-"
-                         "device presorted caches, pair batches round-"
-                         "robining over devices)")
+                         "gram: the block-cache schedule (per-device "
+                         "presorted caches, pair batches round-robining "
+                         "over devices); mesh: the host-free sharded "
+                         "packed engine (mesh_all_pairs_packed, the "
+                         "driver's --mesh path)")
     args = ap.parse_args()
 
     import jax
     jax.config.update("jax_platforms", "cpu")
-    from spaced_kmer_sketching_tpu.parallel.allpairs import blocked_all_pairs
+    from spaced_kmer_sketching_tpu.parallel.allpairs import (
+        blocked_all_pairs, mesh_all_pairs_packed)
     from spaced_kmer_sketching_tpu.parallel.mesh import make_mesh
 
     g, cap = args.genomes, args.cap
@@ -56,35 +64,64 @@ def main():
         keys[i, :vals.size, 1] = (vals >> 32).astype(np.uint32)
         keys[i, :vals.size, 2:] = 0
 
+    def run(mesh):
+        if args.engine == "mesh":
+            return mesh_all_pairs_packed(
+                mesh, lambda x, spec: jax.device_put(
+                    x, jax.sharding.NamedSharding(mesh, spec)),
+                np.asarray, keys, counts, block=args.block, key_bits=62)
+        return blocked_all_pairs(mesh, keys, counts, block=args.block,
+                                 engine=args.engine)
+
     devices = jax.devices()
-    results = {}
+    per_dev = {}
     ref = None
     for nd in (1, 2, 4, 8):
         if nd > len(devices):
             break
         mesh = make_mesh(devices=devices[:nd])
-        blocked_all_pairs(mesh, keys, counts, block=args.block,
-                          engine=args.engine)  # compile
+        run(mesh)                                   # compile
         t0 = time.perf_counter()
-        out = blocked_all_pairs(mesh, keys, counts, block=args.block,
-                                engine=args.engine)
+        out = run(mesh)
         dt = time.perf_counter() - t0
         if ref is None:
             ref = out
         else:
             np.testing.assert_array_equal(out, ref)  # schedule determinism
         rate = g * g / dt
-        results[nd] = rate
-        eff = rate / (results[1] * nd)
-        print(f"devices={nd}  pairs/s={rate:,.0f}  "
-              f"efficiency vs 1-dev={eff:.2f}")
+        eff = rate / (per_dev["1"]["pairs_per_s"] * nd) if per_dev else 1.0
+        per_dev[str(nd)] = {"pairs_per_s": round(rate, 1),
+                            "wall_s": round(dt, 4),
+                            "efficiency_vs_1dev": round(eff, 3)}
 
+    result = {
+        "metric": "allpairs_scale_dryrun",
+        "engine": args.engine,
+        "genomes": g, "cap": cap, "block": args.block,
+        "host_cores": os.cpu_count(),
+        "devices": per_dev,
+        "determinism": "bit-identical matrices across all mesh sizes",
+        "note": "virtual CPU devices share the host cores: efficiency "
+                "here bounds SCHEDULE overhead (resharding, tile launch), "
+                "it is not a hardware scaling claim",
+    }
     if args.chip_pairs_per_s:
-        per_chip = args.chip_pairs_per_s
-        eff16 = 0.8  # conservative ICI-schedule assumption
-        t = 1e8 / (per_chip * 16 * eff16)
-        print(f"projection: 10^8 pairs on v5e-16 at {per_chip:,.0f} "
-              f"pairs/s/chip, 80% eff -> {t/60:.1f} min")
+        chips, eff16 = 16, 0.8
+        pairs = 1e8
+        result["projection_v5e16"] = {
+            "pairs": pairs,
+            "per_chip_pairs_per_s": args.chip_pairs_per_s,
+            "chips": chips,
+            "assumed_efficiency": eff16,
+            "formula": "pairs / (per_chip * chips * eff)",
+            "seconds": round(pairs / (args.chip_pairs_per_s * chips * eff16),
+                             2),
+        }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
 
 
 if __name__ == "__main__":
