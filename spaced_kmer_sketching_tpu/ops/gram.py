@@ -679,25 +679,15 @@ def gram_pair_tiles(cache, ii, jj, *, block: int, gidbits: int,
             flat = [p.reshape(n) for p in planes]
             srt = lax.sort(tuple(flat[::-1]), num_keys=pw)
             merged = [s.reshape(2 * rows, LANES) for s in srt[::-1]]
-            pallas_ok = False
         else:
             merged = merge_sorted_runs(planes, rows, interpret=interpret,
                                        nkeys=pw)
-            pallas_ok = True
-        if (pallas_ok and (2 * rows) % LANES == 0 and block <= 512
-                and (interpret
-                     or _os.environ.get("SKS_GRAM_SCAN") == "pallas")):
-            # VMEM-resident scan kernel — EXPERIMENTAL, opt-in via
-            # SKS_GRAM_SCAN=pallas: it compiles and verifies (the
-            # interpret-mode tests run it), but Mosaic lowers the
-            # per-chunk (128, 1) column-slice compares ~60x slower than
-            # the XLA scan on this toolchain (measured 773 ms vs 12.7 ms
-            # per 2M-entry tile), so the bf16 XLA scan below stays the
-            # default hardware path
-            from .pallas.gram_scan import gram_rect_scan
-            acc = gram_rect_scan(merged, gidbits=gidbits, block=block,
-                                 interpret=interpret)
-            return None, acc
+        # A fully VMEM-resident Pallas scan kernel for this step was built
+        # and RETIRED in round 4 (ops/pallas/gram_scan.py, removed): it was
+        # exact but Mosaic lowered its per-chunk (128, 1) column-slice
+        # broadcasts ~60x slower than this XLA scan (773 ms vs 8.35-12.7 ms
+        # per 2M-entry tile), and every alternative layout still needs a
+        # per-chunk sublane-vector broadcast — see BASELINE_RESULTS.md.
         sw = [p.reshape(n) for p in merged]
         acc = _gram_chunks_packed(sw, gidbits, 2 * block, chunk,
                                   binner=binner, split=block,
