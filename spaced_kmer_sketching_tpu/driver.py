@@ -32,6 +32,41 @@ from .observability import get_logger
 log = get_logger(__name__)
 
 
+#: collections above this size route through the device-resident pipeline
+_PIPELINE_MIN_GENOMES = 2048
+
+
+def _use_device_pipeline(sk, filenames, pairing: str, store) -> bool:
+    """Route large TPU collections through the DEVICE-RESIDENT one-flow
+    pipeline (pipeline.py): sketches born on device feed the block presort
+    cache directly, skipping the download + slab re-upload the two-step
+    path pays.  Bit-exact with the two-step path (tests/test_pipeline.py).
+    SKS_DEVICE_PIPELINE=0 disables the routing; =1 forces it regardless of
+    backend and collection size (the structural constraints still apply).
+    Mirrors the reference experiment's one flow
+    (src/kmer-sketching.cpp:151-212)."""
+    import os as _os
+
+    if not (pairing == "all" and store is None
+            and type(sk) is FracMinHashSketcher):
+        return False
+    env = _os.environ.get("SKS_DEVICE_PIPELINE")
+    if env == "0":
+        return False
+    try:
+        small = all(_os.path.getsize(f) < sk._STREAM_THRESHOLD_BYTES
+                    for f in filenames)
+    except OSError:
+        small = True       # missing files keep read_fasta's error parity
+    if not small:
+        return False       # huge genomes need the streaming sketch path
+    if env == "1":
+        return True
+    import jax
+    return (jax.default_backend() == "tpu"
+            and len(filenames) > _PIPELINE_MIN_GENOMES)
+
+
 def run_experiment(window_size: int, kmer_size: int, filenames: Sequence[str],
                    output_filename: str, is_append: bool,
                    config: Optional[SketchConfig] = None,
@@ -83,6 +118,38 @@ def run_experiment(window_size: int, kmer_size: int, filenames: Sequence[str],
             log.info("resume: config (w=%d, k=%d) already complete, skipped",
                      window_size, kmer_size)
             return np.empty(0)
+
+    if _use_device_pipeline(sk, filenames, pairing, store):
+        from .pipeline import all_pairs_from_files
+        t0 = time.perf_counter()
+        res = all_pairs_from_files(sk, filenames)
+        t1 = time.perf_counter()
+        counts = res.counts.astype(np.int64)
+        g = len(filenames)
+        pairs = all_pair_indices(g)
+        ani = sk.ani_from_intersections(res.inter.reshape(-1).astype(np.int64),
+                                        np.repeat(counts, max(g, 1)))
+        t2 = time.perf_counter()
+        if echo_timings:
+            # one flow: the phases interleave, so attribute ingest +
+            # sketch + presort to "sketching" and the tile sweep + host
+            # ANI math to "comparison" (reference print format,
+            # src/kmer-sketching.cpp:175,203)
+            ph = res.phases
+            sk_ms = (ph["ingest_s"] + ph["sketch_s"] + ph["presort_s"]) * 1e3
+            cmp_ms = ph["allpairs_s"] * 1e3 + (t2 - t1) * 1e3
+            print(f"Time taken for sketching = {sk_ms} ms")
+            print(f"Time taken for comparison = {cmp_ms} ms")
+        names1 = [str(filenames[i]) for i, _ in pairs]
+        names2 = [str(filenames[j]) for _, j in pairs]
+        values = list(map(float, ani))
+        if write_row is not None:
+            names1 = [n for n, w in zip(names1, write_row) if w]
+            names2 = [n for n, w in zip(names2, write_row) if w]
+            values = [v for v, w in zip(values, write_row) if w]
+        write_to_csv(names1, names2, values, window_size, sk.mask,
+                     output_filename, is_append)
+        return ani
 
     t0 = time.perf_counter()
     if store is not None:

@@ -101,3 +101,26 @@ def test_pipeline_multirecord_and_non_acgt(tmp_path):
     np.testing.assert_array_equal(res.counts,
                                   np.array([s.count for s in sketches]))
     np.testing.assert_array_equal(res.inter, _reference_matrix(sk, sketches))
+
+
+def test_driver_pipeline_csv_byte_identical(tmp_path, monkeypatch):
+    """run_experiment routed through the device pipeline
+    (SKS_DEVICE_PIPELINE=1) writes a byte-identical CSV to the two-step
+    sketch_files + all_pairs path, timings printed in the reference
+    format."""
+    from spaced_kmer_sketching_tpu.driver import run_experiment
+
+    rng = np.random.default_rng(31)
+    paths = [write_fasta(tmp_path / f"d{i}.fa", [random_genome(rng, 1200)])
+             for i in range(5)]
+    cfg = SketchConfig(window=12, k=8, scale=5)
+    a = tmp_path / "two_step.csv"
+    b = tmp_path / "pipeline.csv"
+    monkeypatch.setenv("SKS_DEVICE_PIPELINE", "0")
+    ani0 = run_experiment(12, 8, paths, str(a), False, config=cfg,
+                          echo_timings=False)
+    monkeypatch.setenv("SKS_DEVICE_PIPELINE", "1")
+    ani1 = run_experiment(12, 8, paths, str(b), False, config=cfg,
+                          echo_timings=False)
+    np.testing.assert_array_equal(ani0, ani1)
+    assert a.read_bytes() == b.read_bytes()
