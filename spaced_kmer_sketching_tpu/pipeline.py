@@ -54,6 +54,7 @@ class PipelineResult:
     bytes_h2d: int               # host->device payload bytes (ingest + idx)
     bytes_d2h: int               # device->host payload bytes (tiles, counts)
     sample_keys: Dict[int, np.ndarray]   # gid -> (count, 2) u64 sketch keys
+    cache_cap: int = 0           # presort cache width (keys per genome)
 
 
 class _CapacityOverflow(Exception):
@@ -236,61 +237,20 @@ class DevicePipeline:
                   "allpairs_s": 0.0}
         bytes_h2d = 0
         bytes_d2h = 0
-        counts = np.zeros(g, np.int32)
         sample_keys: Dict[int, np.ndarray] = {}
         caches = []          # per-block (pw, rows, 128) device caches
         parts: List[Tuple[int, jnp.ndarray]] = []   # collected (s0, keys)
         t_start = time.perf_counter()
 
-        def collect(pending):
-            nonlocal bytes_d2h
-            s0, s1, res = pending
-            t0 = time.perf_counter()
-            raws = np.asarray(res.raw_kept)
-            phases["sketch_s"] += time.perf_counter() - t0
-            if int(raws.max()) > capacity:
-                raise _CapacityOverflow(
-                    1 << math.ceil(math.log2(int(raws.max()) + 1)))
-            cnt = np.asarray(res.count)
-            counts[s0:s1] = cnt
-            bytes_d2h += raws.nbytes + cnt.nbytes
-            for i in range(s0, s1):
-                if i in verify_ids:
-                    k = np.asarray(res.keys[i - s0, :int(cnt[i - s0])]) \
-                        .astype(np.uint64)
-                    sample_keys[i] = np.ascontiguousarray(np.stack(
-                        [k[:, 0] | (k[:, 1] << np.uint64(32)),
-                         k[:, 2] | (k[:, 3] << np.uint64(32))], axis=1))
-                    bytes_d2h += int(cnt[i - s0]) * 16
-            parts.append((s0, res.keys[:, :, :kw]))
-            flush_blocks()
-
-        def flush_blocks():
-            # presort every fully-collected block, freeing its key parts
-            # (sub-batches collect in genome order, so blocks complete in
-            # order too)
-            while parts:
-                b = len(caches)
-                i0, i1 = b * block, min(g, (b + 1) * block)
-                have = sum(p[1].shape[0] for p in parts
-                           if i0 <= p[0] < i1)
-                if have < i1 - i0:
-                    return
-                t0 = time.perf_counter()
-                seg = sorted(p for p in parts if i0 <= p[0] < i1)
-                for p in seg:
-                    parts.remove(p)
-                kb = jnp.concatenate([p[1] for p in seg])
-                if i1 - i0 < block:        # ragged tail: sentinel sketches
-                    pad = jnp.full((block - (i1 - i0), capacity, kw),
-                                   _SENT, jnp.uint32)
-                    kb = jnp.concatenate([kb, pad])
-                caches.append(presort_block_packed(
-                    kb, key_bits=key_bits, gidbits=gidbits, pw=pw))
-                phases["presort_s"] += time.perf_counter() - t0
-
+        # Dispatches are fully ASYNC: the loop only enqueues programs
+        # (device keys, raw/count scalars stay on device); per-dispatch
+        # scalar results download in ONE batched transfer afterwards —
+        # a synchronous np.asarray per dispatch paid a full host<->device
+        # round trip each (~1 s through a loaded tunnel, x80 dispatches
+        # at config-4 scale).  Host ingest of dispatch k+1 still overlaps
+        # device sketching of dispatch k because nothing here blocks.
+        raws_d, counts_d = [], []
         with span("sketching", log):
-            pending = None
             for s0 in range(0, g, dispatch):
                 s1 = min(g, s0 + dispatch)
                 t0 = time.perf_counter()
@@ -300,13 +260,56 @@ class DevicePipeline:
                 res, h2d = self._dispatch(batch, n, capacity)
                 bytes_h2d += h2d
                 phases["sketch_s"] += time.perf_counter() - t0
-                if pending is not None:
-                    collect(pending)       # overlaps the new dispatch
-                pending = (s0, s1, res)
-            if pending is not None:
-                collect(pending)
-            flush_blocks()
-            assert not parts and len(caches) == nb
+                raws_d.append(res.raw_kept)
+                counts_d.append(res.count)
+                parts.append((s0, res.keys[:, :, :kw]))
+                if i_verify := [i for i in range(s0, s1) if i in verify_ids]:
+                    for i in i_verify:
+                        sample_keys[i] = res.keys[i - s0]   # device, lazy
+            t0 = time.perf_counter()
+            raws = np.asarray(jnp.concatenate(raws_d))
+            counts = np.asarray(jnp.concatenate(counts_d)).astype(np.int32)
+            phases["sketch_s"] += time.perf_counter() - t0
+            bytes_d2h += raws.nbytes + counts.nbytes
+            if int(raws.max()) > capacity:
+                raise _CapacityOverflow(
+                    1 << math.ceil(math.log2(int(raws.max()) + 1)))
+            for i in list(sample_keys):
+                k = np.asarray(sample_keys[i][:int(counts[i])]) \
+                    .astype(np.uint64)
+                sample_keys[i] = np.ascontiguousarray(np.stack(
+                    [k[:, 0] | (k[:, 1] << np.uint64(32)),
+                     k[:, 2] | (k[:, 3] << np.uint64(32))], axis=1))
+                bytes_d2h += int(counts[i]) * 16
+
+        # presort width: the dispatch capacity is conservatively 2x the
+        # expected sketch size (capacity_for), but the tile scan's work is
+        # linear in the cache width — trim to the tightest 128-multiple
+        # power of two covering every ACTUAL count (sketch keys are sorted
+        # with sentinel padding, so a prefix slice is exact).  Presort is
+        # deferred until all counts are known; the keys parked on device
+        # meanwhile cost G * capacity * kw words of HBM.
+        cap_p = max(128, 1 << int(math.ceil(math.log2(
+            max(1, int(counts.max()))))))
+        cap_p = min(cap_p, capacity)
+        t0 = time.perf_counter()
+        parts.sort()
+        while parts:
+            b = len(caches)
+            i0, i1 = b * block, min(g, (b + 1) * block)
+            seg = [p for p in parts if i0 <= p[0] < i1]
+            assert sum(p[1].shape[0] for p in seg) == i1 - i0
+            for p in seg:
+                parts.remove(p)
+            kb = jnp.concatenate([p[1][:, :cap_p] for p in seg])
+            if i1 - i0 < block:            # ragged tail: sentinel sketches
+                pad = jnp.full((block - (i1 - i0), cap_p, kw),
+                               _SENT, jnp.uint32)
+                kb = jnp.concatenate([kb, pad])
+            caches.append(presort_block_packed(
+                kb, key_bits=key_bits, gidbits=gidbits, pw=pw))
+        phases["presort_s"] += time.perf_counter() - t0
+        assert len(caches) == nb
 
         with span("comparison", log):
             t0 = time.perf_counter()
@@ -319,12 +322,12 @@ class DevicePipeline:
             phases["allpairs_s"] = time.perf_counter() - t0
             npairs = nb * (nb + 1) // 2
             bytes_d2h += npairs * block * block * (
-                2 if capacity <= 32767 else 4)
+                2 if cap_p <= 32767 else 4)
 
         phases["total_s"] = time.perf_counter() - t_start
         return PipelineResult(inter=out, counts=counts, phases=phases,
                               bytes_h2d=bytes_h2d, bytes_d2h=bytes_d2h,
-                              sample_keys=sample_keys)
+                              sample_keys=sample_keys, cache_cap=cap_p)
 
 
 def all_pairs_from_files(sketcher: FracMinHashSketcher,
