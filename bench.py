@@ -803,7 +803,7 @@ def bench_e2e(args) -> int:
     pairs = g * g
     blk = blk0
     nb = (g + blk - 1) // blk
-    cap = cfg.capacity_for(nominal - cfg.window + 1)
+    cap = res.cache_cap
     flops = (nb * (nb + 1) // 2) * 2 * (2 * blk * cap) * blk * (128 + blk)
     # transport estimate: measured tunnel rates on this machine are
     # ~110 MB/s H2D and ~45 MB/s D2H (BASELINE_RESULTS.md); the pipeline
