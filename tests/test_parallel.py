@@ -460,3 +460,38 @@ def test_mesh_streaming_bitexact_and_routing(tmp_path, monkeypatch):
     want_small = single.sketch_file(str(small))
     assert outs[1].count == want_small.count
     np.testing.assert_array_equal(outs[1].keys, want_small.keys)
+
+
+def test_mesh_all_pairs_packed_multiblock():
+    """mesh_all_pairs_packed over several blocks (ragged tail, empty
+    sketch) is bit-identical to the host gram engine on every mesh
+    shape."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+    from spaced_kmer_sketching_tpu.ops.gram import gram_all_pairs
+    from spaced_kmer_sketching_tpu.parallel.allpairs import (
+        mesh_all_pairs_packed)
+    from spaced_kmer_sketching_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(91)
+    g, cap = 300, 256                      # nb=3 at block 128, ragged tail
+    keys = np.full((g, cap, 4), 0xFFFFFFFF, np.uint32)
+    counts = np.zeros(g, np.int32)
+    pool = np.unique(rng.integers(0, 1 << 40, 3 * cap).astype(np.uint64))
+    for i in range(g):
+        vals = np.unique(rng.choice(pool, int(cap * 0.7)))
+        counts[i] = vals.size
+        keys[i, :vals.size, 0] = (vals & 0xFFFFFFFF).astype(np.uint32)
+        keys[i, :vals.size, 1] = (vals >> 32).astype(np.uint32)
+        keys[i, :vals.size, 2:] = 0
+    counts[17] = 0
+    keys[17] = 0xFFFFFFFF
+    want = gram_all_pairs(keys, counts).astype(np.int32)
+
+    for nd in (1, 8):
+        mesh = make_mesh(devices=jax.devices()[:nd])
+        got = mesh_all_pairs_packed(
+            mesh,
+            lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+            np.asarray, keys, counts, key_bits=40)
+        np.testing.assert_array_equal(got, want)
