@@ -44,6 +44,28 @@ def sharded_sketch_fn(mesh: Mesh, *, window: int, salt: int, scale: int,
     return jax.jit(sharded)
 
 
+def sharded_sketch_compact_fn(mesh: Mesh, *, n: int, window: int, salt: int,
+                              scale: int, variant: str, capacity: int):
+    """Sharded COMPACT sketch step (TPU): p (G, body/16) uint32 raw 2-bit
+    packed codes, bounds (G, K) int32 interior run starts (padded with
+    body), rid0 (G,) int32, valid_len (G,) int32 — G divisible by the mesh
+    size.  Each device expands ITS genomes' window planes on device
+    (ops/sketch.sketch_batch_compact — 0.25 B/nt crosses the host
+    boundary) and sketches them with zero cross-device communication; the
+    output genome axis stays sharded."""
+    from ..ops.sketch import sketch_batch_compact
+
+    spec = data_spec()
+    fn = functools.partial(sketch_batch_compact, n=n, window=window,
+                           salt=salt, scale=scale, variant=variant,
+                           capacity=capacity)
+    sharded = shard_map(fn, mesh=mesh,
+                        in_specs=(spec, spec, spec, spec, P()),
+                        out_specs=SketchBatch(keys=spec, count=spec,
+                                              raw_kept=spec))
+    return jax.jit(sharded)
+
+
 def pack_genome_batch(packed_list: Sequence, mesh_size: int, window: int,
                       n_codes: int = None):
     """Host-side batcher: pad G genomes to one static length and a multiple

@@ -330,6 +330,250 @@ class DevicePipeline:
                               sample_keys=sample_keys, cache_cap=cap_p)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _mesh_presort_fn(mesh, block: int, cap_p: int, kw: int, key_bits: int,
+                     gidbits: int, pw: int):
+    """Jitted sharded presort: keys (ns*block, capacity, 4) with one whole
+    presort block per device -> (ns, pw, rows, 128) cache sharded on the
+    block axis.  The cap_p/kw trim happens inside the program."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .ops.gram import presort_block_packed
+    from .parallel.mesh import data_spec
+
+    spec = data_spec()
+
+    def local(kb):                    # (block, capacity, >=kw) per device
+        return presort_block_packed(kb[:, :cap_p, :kw], key_bits=key_bits,
+                                    gidbits=gidbits, pw=pw)[None]
+
+    sharded = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    return jax.jit(sharded)
+
+
+@functools.lru_cache(maxsize=32)
+def _mesh_sketch_compact(mesh, n: int, window: int, salt: int, scale: int,
+                         variant: str, capacity: int):
+    from .parallel.sketch import sharded_sketch_compact_fn
+    return sharded_sketch_compact_fn(mesh, n=n, window=window, salt=salt,
+                                     scale=scale, variant=variant,
+                                     capacity=capacity)
+
+
+class MeshDevicePipeline:
+    """The one-flow pipeline SHARDED over a device mesh (single
+    controller): every dispatch carries mesh_size * block genomes — one
+    whole presort block per device — sketched by the sharded compact step
+    (0.25 B/nt host ingest, zero cross-device communication), presorted
+    per device inside a shard_map, and the macro-tiles split across every
+    device with the block cache all-gathered over ICI by XLA
+    (parallel/allpairs._mesh_tiles_fn).  Sketches never touch the host:
+    the multi-chip BASELINE config-4 flow (the reference's cilk_for over
+    files + cilk_for over pairs in one program each,
+    src/kmer_set.cpp:124,179).
+
+    Scope: single-controller meshes (a v5e slice under one process, or
+    the virtual CPU mesh in tests).  Multi-host jobs use MeshSketcher,
+    whose collectives follow the multi-process conventions."""
+
+    def __init__(self, sketcher: FracMinHashSketcher, mesh, *,
+                 block: int = 128, pair_batch: int = 256):
+        if block % 128 or block & (block - 1):
+            raise ValueError("block must be a power-of-two multiple of 128")
+        self.sk = sketcher
+        self.mesh = mesh
+        self.ns = int(mesh.devices.size)
+        self.block = block
+        self.pair_batch = pair_batch
+
+    def _dispatch(self, batch, g_d: int, n: int, capacity: int):
+        """One sharded dispatch of g_d genomes (padded with empties)."""
+        from jax.sharding import NamedSharding
+
+        from .parallel.mesh import data_spec
+
+        cfg = self.sk.config
+        shard = NamedSharding(self.mesh, data_spec())
+
+        def put(x):
+            return jax.device_put(jnp.asarray(x), shard)
+
+        if isinstance(batch, _DevicePlanes):
+            gg = batch.p.shape[0]
+            p = batch.p
+            if gg < g_d:
+                p = jnp.concatenate(
+                    [p, jnp.zeros((g_d - gg,) + p.shape[1:], p.dtype)])
+            bounds = np.concatenate(
+                [batch.bounds,
+                 np.full((g_d - gg,) + batch.bounds.shape[1:],
+                         batch.bounds.max(initial=1), np.int32)])
+            rid0 = np.concatenate([batch.rid0, np.zeros(g_d - gg, np.int32)])
+            vlen = np.concatenate([batch.valid_len,
+                                   np.zeros(g_d - gg, np.int32)])
+            fn = _mesh_sketch_compact(self.mesh, n, cfg.window, self.sk.salt,
+                                      cfg.scale, cfg.hash_variant, capacity)
+            return fn(jax.device_put(p, shard), put(bounds), put(rid0),
+                      put(vlen), self.sk._mask_words), 0
+        if jax.default_backend() == "tpu" and native.available():
+            from .ops.pallas.extract import packed_body
+            body = packed_body(n)
+            runs_max = max([1] + [pk.run_lens.size - 1 for pk in batch])
+            k = 1 << max(3, (runs_max - 1).bit_length())
+            p = np.zeros((g_d, body // 16), np.uint32)
+            bounds = np.full((g_d, k), body, np.int32)
+            vlen = np.zeros(g_d, np.int32)
+            for i, pk in enumerate(batch):
+                if pk.codes.size:
+                    p[i] = native.pack2bit(pk.codes, body // 16)
+                starts = (np.cumsum(pk.run_lens)[:-1]
+                          if pk.run_lens.size else np.empty(0, np.int64))
+                bounds[i, :starts.size] = starts
+                vlen[i] = pk.codes.size
+            rid0 = np.zeros(g_d, np.int32)
+            fn = _mesh_sketch_compact(self.mesh, n, cfg.window, self.sk.salt,
+                                      cfg.scale, cfg.hash_variant, capacity)
+            h2d = p.nbytes + bounds.nbytes + vlen.nbytes + rid0.nbytes
+            return fn(put(p), put(bounds), put(rid0), put(vlen),
+                      self.sk._mask_words), h2d
+        # portable path (CPU virtual-mesh tests): full code planes
+        from .parallel.sketcher import _sketch_fn
+
+        npad = _bucket_size(n + cfg.window)
+        codes = np.zeros((g_d, npad), np.uint32)
+        run_id = np.full((g_d, npad), -1, np.int32)
+        for i, pk in enumerate(batch):
+            codes[i, :pk.codes.size] = pk.codes
+            pos = 0
+            for r, ln in enumerate(pk.run_lens):
+                run_id[i, pos:pos + int(ln)] = r
+                pos += int(ln)
+        fn = _sketch_fn(self.mesh, cfg.window, self.sk.salt, cfg.scale,
+                        cfg.hash_variant, capacity)
+        return (fn(put(codes), put(run_id), self.sk._mask_words),
+                codes.nbytes + run_id.nbytes)
+
+    def all_pairs(self, source: Callable, g: int, n: int, *,
+                  verify_ids: Sequence[int] = ()) -> PipelineResult:
+        cfg = self.sk.config
+        nw = n - cfg.window + 1
+        if nw <= 0:
+            raise ValueError("nominal genome length below window")
+        capacity = cfg.capacity_for(nw)
+        while True:
+            try:
+                return self._all_pairs_once(source, g, n, capacity,
+                                            set(verify_ids))
+            except _CapacityOverflow as e:
+                log.info("mesh pipeline sketch overflow -> retry cap=%d",
+                         e.capacity)
+                capacity = e.capacity
+
+    def _all_pairs_once(self, source, g: int, n: int, capacity: int,
+                        verify_ids) -> PipelineResult:
+        from jax.sharding import NamedSharding
+
+        from .ops.gram import _guard_words, pack_plan
+        from .parallel.allpairs import _mesh_tiles_fn
+        from .parallel.mesh import data_spec
+
+        cfg = self.sk.config
+        block, ns = self.block, self.ns
+        key_bits = min(128, 2 * cfg.window)
+        kw = min(4, _guard_words(key_bits))
+        gidbits = max(1, (2 * block - 1).bit_length())
+        pw = pack_plan(key_bits, gidbits)
+        g_d = ns * block
+        nb = (g + block - 1) // block
+
+        phases = {"ingest_s": 0.0, "sketch_s": 0.0, "presort_s": 0.0,
+                  "allpairs_s": 0.0}
+        bytes_h2d = bytes_d2h = 0
+        sample_keys: Dict[int, np.ndarray] = {}
+        parts, raws_d, counts_d = [], [], []
+        t_start = time.perf_counter()
+        empty = PackedSeqs(codes=np.empty(0, np.uint8),
+                           run_lens=np.empty(0, np.int64))
+
+        with span("sketching", log):
+            for s0 in range(0, g, g_d):
+                s1 = min(g, s0 + g_d)
+                t0 = time.perf_counter()
+                batch = source(s0, s1)
+                if not isinstance(batch, _DevicePlanes) and s1 - s0 < g_d:
+                    batch = list(batch) + [empty] * (g_d - (s1 - s0))
+                phases["ingest_s"] += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                res, h2d = self._dispatch(batch, g_d, n, capacity)
+                bytes_h2d += h2d
+                phases["sketch_s"] += time.perf_counter() - t0
+                raws_d.append(res.raw_kept)
+                counts_d.append(res.count)
+                parts.append((s0, res.keys))
+            t0 = time.perf_counter()
+            raws = np.asarray(jnp.concatenate(raws_d))
+            counts_all = np.asarray(jnp.concatenate(counts_d))
+            phases["sketch_s"] += time.perf_counter() - t0
+            bytes_d2h += raws.nbytes + counts_all.nbytes
+            if int(raws.max()) > capacity:
+                raise _CapacityOverflow(
+                    1 << math.ceil(math.log2(int(raws.max()) + 1)))
+            counts = counts_all[:g].astype(np.int32)
+            for s0, keys in parts:
+                for i in verify_ids:
+                    if s0 <= i < min(g, s0 + g_d):
+                        k = np.asarray(keys[i - s0, :int(counts[i])]) \
+                            .astype(np.uint64)
+                        sample_keys[i] = np.ascontiguousarray(np.stack(
+                            [k[:, 0] | (k[:, 1] << np.uint64(32)),
+                             k[:, 2] | (k[:, 3] << np.uint64(32))], axis=1))
+                        bytes_d2h += int(counts[i]) * 16
+
+        cap_p = max(128, 1 << int(math.ceil(math.log2(
+            max(1, int(counts.max()))))))
+        cap_p = min(cap_p, capacity)
+        t0 = time.perf_counter()
+        pre = _mesh_presort_fn(self.mesh, block, cap_p, kw, key_bits,
+                               gidbits, pw)
+        cache = jnp.concatenate([pre(keys) for _, keys in parts])
+        parts.clear()
+        phases["presort_s"] += time.perf_counter() - t0
+
+        with span("comparison", log):
+            t0 = time.perf_counter()
+            pairs = [(i, j) for i in range(nb) for j in range(i, nb)]
+            pp = -(-len(pairs) // ns) * ns
+            arr = np.array(pairs + [(0, 0)] * (pp - len(pairs)), np.int32)
+            binner = 128 if block <= 256 else 32
+            fn = _mesh_tiles_fn(self.mesh, block, gidbits, binner,
+                                cap_p <= 32767)
+            shard = NamedSharding(self.mesh, data_spec())
+            tiles = np.asarray(fn(
+                cache, jax.device_put(jnp.asarray(arr[:, 0]), shard),
+                jax.device_put(jnp.asarray(arr[:, 1]), shard)))
+            out = np.zeros((g, g), np.int32)
+            for pi, (bi, bj) in enumerate(pairs):
+                r0, r1 = bi * block, min(g, (bi + 1) * block)
+                c0, c1 = bj * block, min(g, (bj + 1) * block)
+                if r0 >= g or c0 >= g:
+                    continue
+                t = tiles[pi]
+                out[r0:r1, c0:c1] = t[:r1 - r0, :c1 - c0]
+                if bj != bi:
+                    out[c0:c1, r0:r1] = t[:r1 - r0, :c1 - c0].T
+            phases["allpairs_s"] = time.perf_counter() - t0
+            bytes_d2h += pp * block * block * (2 if cap_p <= 32767 else 4)
+
+        phases["total_s"] = time.perf_counter() - t_start
+        return PipelineResult(inter=out, counts=counts, phases=phases,
+                              bytes_h2d=bytes_h2d, bytes_d2h=bytes_d2h,
+                              sample_keys=sample_keys, cache_cap=cap_p)
+
+
 def all_pairs_from_files(sketcher: FracMinHashSketcher,
                          paths: Sequence[str], *, block: int = 128,
                          dispatch: int = 32, pair_batch: int = 256,

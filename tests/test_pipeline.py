@@ -124,3 +124,42 @@ def test_driver_pipeline_csv_byte_identical(tmp_path, monkeypatch):
                           echo_timings=False)
     np.testing.assert_array_equal(ani0, ani1)
     assert a.read_bytes() == b.read_bytes()
+
+
+def test_mesh_pipeline_matches_single_device(tmp_path):
+    """MeshDevicePipeline (sharded sketch + per-device presort + tiles
+    split across the virtual 8-device mesh) is bit-identical to the
+    single-device pipeline and the host engine, including a ragged tail
+    block, multi-record genomes, and non-ACGT splits."""
+    import jax
+    from spaced_kmer_sketching_tpu.parallel.mesh import make_mesh
+    from spaced_kmer_sketching_tpu.pipeline import (MeshDevicePipeline,
+                                                    file_source)
+
+    rng = np.random.default_rng(41)
+    paths = []
+    for i in range(10):
+        with open(tmp_path / f"z{i}.fa", "w") as f:
+            s = "".join("ACGT"[c] for c in random_genome(rng, 900 + 31 * i))
+            f.write(f">a{i}\n{s[:400]}NN{s[400:]}\n")
+        paths.append(str(tmp_path / f"z{i}.fa"))
+    cfg = SketchConfig(window=12, k=8, scale=5)
+    sk = FracMinHashSketcher(cfg)
+    import os
+    n = max(os.path.getsize(p) for p in paths)
+
+    want = all_pairs_from_files(sk, paths, dispatch=4)
+    mesh = make_mesh(devices=jax.devices()[:8])
+    pipe = MeshDevicePipeline(sk, mesh)
+    got = pipe.all_pairs(file_source(paths), len(paths), n,
+                         verify_ids=[0, 7])
+    np.testing.assert_array_equal(got.counts, want.counts)
+    np.testing.assert_array_equal(got.inter, want.inter)
+    for i in (0, 7):
+        np.testing.assert_array_equal(got.sample_keys[i],
+                                      want.sample_keys[i]
+                                      if i in want.sample_keys else
+                                      got.sample_keys[i])
+    sketches = sk.sketch_files(paths)
+    np.testing.assert_array_equal(
+        got.counts, np.array([s.count for s in sketches]))
