@@ -47,9 +47,15 @@ def _use_device_pipeline(sk, filenames, pairing: str, store) -> bool:
     (src/kmer-sketching.cpp:151-212)."""
     import os as _os
 
-    if not (pairing == "all" and store is None
-            and type(sk) is FracMinHashSketcher):
+    if not (pairing == "all" and store is None):
         return False
+    if type(sk) is not FracMinHashSketcher:
+        # mesh runs route through MeshDevicePipeline, single controller
+        # only (multi-process collectives follow MeshSketcher conventions)
+        from .parallel.sketcher import MeshSketcher
+        import jax
+        if not (type(sk) is MeshSketcher and jax.process_count() == 1):
+            return False
     env = _os.environ.get("SKS_DEVICE_PIPELINE")
     if env == "0":
         return False
@@ -122,7 +128,8 @@ def run_experiment(window_size: int, kmer_size: int, filenames: Sequence[str],
     if _use_device_pipeline(sk, filenames, pairing, store):
         from .pipeline import all_pairs_from_files
         t0 = time.perf_counter()
-        res = all_pairs_from_files(sk, filenames)
+        res = all_pairs_from_files(sk, filenames,
+                                   mesh=getattr(sk, "mesh", None))
         t1 = time.perf_counter()
         counts = res.counts.astype(np.int64)
         g = len(filenames)

@@ -577,17 +577,23 @@ class MeshDevicePipeline:
 def all_pairs_from_files(sketcher: FracMinHashSketcher,
                          paths: Sequence[str], *, block: int = 128,
                          dispatch: int = 32, pair_batch: int = 256,
-                         max_workers: int = 8,
+                         max_workers: int = 8, mesh=None,
                          verify_ids: Sequence[int] = ()) -> PipelineResult:
     """One-flow FASTA files -> (G, G) intersection matrix with
     device-resident sketches (the reference experiment's sketch+compare
-    flow, src/kmer-sketching.cpp:151-212).  The nominal genome length is
-    bounded by the largest file size (a FASTA file's code count never
-    exceeds its byte size)."""
+    flow, src/kmer-sketching.cpp:151-212).  With `mesh`, the whole flow
+    shards over it (MeshDevicePipeline; single controller).  The nominal
+    genome length is bounded by the largest file size (a FASTA file's
+    code count never exceeds its byte size)."""
     import os
 
     n = max(os.path.getsize(p) for p in paths)
     n = max(n, sketcher.config.window + 1)
+    if mesh is not None:
+        mpipe = MeshDevicePipeline(sketcher, mesh, block=block,
+                                   pair_batch=pair_batch)
+        return mpipe.all_pairs(file_source(paths, max_workers), len(paths),
+                               n, verify_ids=verify_ids)
     pipe = DevicePipeline(sketcher, block=block, dispatch=dispatch,
                           pair_batch=pair_batch)
     return pipe.all_pairs(file_source(paths, max_workers), len(paths), n,

@@ -163,3 +163,24 @@ def test_mesh_pipeline_matches_single_device(tmp_path):
     sketches = sk.sketch_files(paths)
     np.testing.assert_array_equal(
         got.counts, np.array([s.count for s in sketches]))
+
+
+def test_driver_mesh_pipeline_csv_byte_identical(tmp_path, monkeypatch):
+    """--mesh runs routed through MeshDevicePipeline
+    (SKS_DEVICE_PIPELINE=1, single process) write a byte-identical CSV to
+    the plain mesh path and the single-device path."""
+    from spaced_kmer_sketching_tpu.driver import main as driver_main
+
+    rng = np.random.default_rng(53)
+    paths = [write_fasta(tmp_path / f"m{i}.fa", [random_genome(rng, 1100)])
+             for i in range(4)]
+    args = ["--window", "12", "--k", "8", "--scale", "5"]
+    a, b, c = (str(tmp_path / f"{x}.csv") for x in "abc")
+    monkeypatch.setenv("SKS_DEVICE_PIPELINE", "0")
+    assert driver_main([a, *paths, *args]) == 0
+    assert driver_main([b, *paths, *args, "--mesh", "2x4"]) == 0
+    monkeypatch.setenv("SKS_DEVICE_PIPELINE", "1")
+    assert driver_main([c, *paths, *args, "--mesh", "2x4"]) == 0
+    import pathlib
+    assert pathlib.Path(b).read_bytes() == pathlib.Path(a).read_bytes()
+    assert pathlib.Path(c).read_bytes() == pathlib.Path(a).read_bytes()
