@@ -114,15 +114,18 @@ def device_source(g: int, n: int, seed: int = 0) -> Callable:
             "device_source feeds the compact Pallas sketch path (TPU only);"
             " use codes_source on other backends")
     body = packed_body(n)
+    meta = {}          # per-batch-size device metadata, uploaded once
 
     def load(s0: int, s1: int) -> _DevicePlanes:
         gg = s1 - s0
         key = jax.random.fold_in(jax.random.PRNGKey(seed), s0)
         p = jax.random.bits(key, (gg, body // 16), jnp.uint32)
-        return _DevicePlanes(
-            p=p, bounds=np.full((gg, 1), body, np.int32),
-            rid0=np.zeros(gg, np.int32),
-            valid_len=np.full(gg, n, np.int32))
+        if gg not in meta:
+            meta[gg] = (jnp.full((gg, 1), body, jnp.int32),
+                        jnp.zeros(gg, jnp.int32),
+                        jnp.full(gg, n, jnp.int32))
+        bounds, rid0, vlen = meta[gg]
+        return _DevicePlanes(p=p, bounds=bounds, rid0=rid0, valid_len=vlen)
     return load
 
 
