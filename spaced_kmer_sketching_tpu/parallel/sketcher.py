@@ -27,7 +27,7 @@ from ..models.fracminhash import FracMinHashSketcher, Sketch, _next_pow2
 from ..observability import get_logger, span
 from .allpairs import sharded_all_pairs_fn
 from .distributed import global_mesh, local_batch_rows
-from .mesh import COL_AXIS, ROW_AXIS, data_spec, pad_to_multiple
+from .mesh import ROW_AXIS, data_spec, pad_to_multiple
 from .sketch import pack_genome_batch, sharded_sketch_fn
 
 log = get_logger(__name__)
