@@ -46,12 +46,15 @@ _SENT = np.uint32(0xFFFFFFFF)
 
 
 def _tile_binner(block: int) -> int:
-    """Chunks per tile-scan step: 128 amortizes XLA scan-step overhead at
-    the standard block (measured 9.7 vs 11.9 ms/tile over binner 32 at
-    block 128, r3); SKS_TILE_BINNER overrides for A/B."""
+    """Chunks per tile-scan step: more chunks amortize XLA scan-step
+    overhead (r3 measured 9.7 vs 11.9 ms/tile over binner 32 at block
+    128; r4 config-4 A/B measured the full tile phase 21.1 s at 256 vs
+    22.3 s at 128 — the scan is HBM-bound on its one-hot temporaries, so
+    bigger steps mainly trim per-step overhead).  SKS_TILE_BINNER
+    overrides for A/B."""
     import os
     return int(os.environ.get("SKS_TILE_BINNER",
-                              "128" if block <= 256 else "32"))
+                              "256" if block <= 256 else "32"))
 
 
 @dataclasses.dataclass
