@@ -92,13 +92,11 @@ _LEAD = 8 * LANES
 TILE_ROWS = HALO_ROWS + 8
 
 
-def _extract_block_packed(qc_s, qr_s, rid_s, mask_vals, *, window, salt,
+def _extract_block_packed(qc, qr, rid, mask_vals, *, window, salt,
                           scale, variant):
     """Packed-slide kernel body: canonical masked keys + keep mask for one
-    block.  qc_s/qr_s: (TILE_ROWS, 128) repeated packed planes (see above);
-    rid_s likewise with 8 leading pad rows."""
-    qc = qc_s[:]
-    qr = qr_s[:]
+    block.  qc/qr: (TILE_ROWS, 128) repeated packed plane VALUES (see
+    above); rid likewise with 8 leading pad rows."""
     nwords = (2 * window + 31) // 32
     lane = lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
 
@@ -140,7 +138,6 @@ def _extract_block_packed(qc_s, qr_s, rid_s, mask_vals, *, window, salt,
         fwd_lt = (mf[q] < mr[q]) | ((mf[q] == mr[q]) & fwd_lt)
     canon = [jnp.where(fwd_lt, mf[q], mr[q])[:BROWS] for q in range(KEY_WORDS)]
 
-    rid = rid_s[:]
     rid_a = _slide_far(rid, _LEAD)[:BROWS]
     rid_b = _slide_far(rid, _LEAD + window - 1)[:BROWS]
     valid = (rid_a == rid_b) & (rid_a >= 0)
@@ -196,10 +193,12 @@ def _start_dma(codes_hbm, rid_hbm, codes_s, rid_s, sems):
     cp_r.wait()
 
 
-def _dma_group(hbms, scratches, sems, g, b, slot):
+def _dma_group(hbms, scratches, sems, g, b, slot, brows: int = BROWS):
     """Issue the input copies for block (g, b) into buffer `slot`; tile row
-    count comes from each scratch buffer's shape."""
-    row0 = pl.multiple_of(b * BROWS, BROWS)
+    count comes from each scratch buffer's shape.  `brows` is the per-block
+    row advance in the HBM plane (BROWS for window-space planes, 16 for the
+    raw packed-word planes)."""
+    row0 = pl.multiple_of(b * brows, brows)
     cps = []
     for i, (h, s) in enumerate(zip(hbms, scratches)):
         rows = s.shape[1]
@@ -209,7 +208,7 @@ def _dma_group(hbms, scratches, sems, g, b, slot):
 
 
 def _pipelined_dma(hbms, scratches, sems, nblocks: int,
-                   shared: bool = False):
+                   shared: bool = False, brows: int = BROWS):
     """Double-buffered block input: wait on this block's copies (started by
     the previous grid step), prefetch the next block's into the other slot.
     Grid steps run sequentially per core, and scratch persists across them;
@@ -231,10 +230,10 @@ def _pipelined_dma(hbms, scratches, sems, nblocks: int,
 
     @pl.when(first)
     def _():
-        for cp in _dma_group(hbms, scratches, sems, pg, b, slot):
+        for cp in _dma_group(hbms, scratches, sems, pg, b, slot, brows):
             cp.start()
 
-    for cp in _dma_group(hbms, scratches, sems, pg, b, slot):
+    for cp in _dma_group(hbms, scratches, sems, pg, b, slot, brows):
         cp.wait()
 
     last_b = b == nblocks - 1
@@ -245,7 +244,7 @@ def _pipelined_dma(hbms, scratches, sems, nblocks: int,
     @pl.when(~(last_b & (g == pl.num_programs(0) - 1)))
     def _():
         for cp in _dma_group(hbms, scratches, sems, png, nb,
-                             (step + 1) % 2):
+                             (step + 1) % 2, brows):
             cp.start()
     return slot
 
@@ -310,11 +309,17 @@ def _compact_kernel(qc_hbm, qr_hbm, rid_hbm, mask_ref, salt_ref,
     slot = _pipelined_dma((qc_hbm, qr_hbm, rid_hbm), (qc_s, qr_s, rid_s),
                           sems, nblocks=pl.num_programs(1), shared=shared)
     canon, keep = _extract_block_packed(
-        qc_s.at[slot], qr_s.at[slot], rid_s.at[slot],
+        qc_s[slot], qr_s[slot], rid_s[slot],
         [mask_ref[g, q] for q in range(KEY_WORDS)],
         window=window, salt=(salt_ref[g, 0], salt_ref[g, 1]),
         scale=scale, variant=variant)
     canon = canon[:out_words]
+    _compact_epilogue(canon, keep, outs, ocnt, k_slots, out_words)
+
+
+def _compact_epilogue(canon, keep, outs, ocnt, k_slots: int, out_words: int):
+    """Per-row survivor compaction + output writes shared by the window-
+    plane and raw-plane compact kernels."""
     if _EPILOGUE == "butterfly":
         # order-preserving butterfly lane routing (7 rounds, cost
         # independent of k_slots) — the same network the finish's
@@ -352,6 +357,169 @@ def _compact_kernel(qc_hbm, qr_hbm, rid_hbm, mask_ref, salt_ref,
     for q, oref in enumerate(outs):
         oref[0] = jnp.where(svalid, slotw[q], jnp.uint32(0xFFFFFFFF))
     ocnt[0] = rowcnt.astype(jnp.int32)
+
+
+# --- raw-plane compact kernel ---------------------------------------------
+#
+# The compact-upload path (0.25 B/nt) originally expanded the raw packed
+# words to the 16x window-index planes IN XLA (repeat + concat: ~12-15 ms
+# of pad/copy passes per 128 x 1.55M-nt dispatch, measured by trace) and
+# the kernel re-read the expanded 2.4 GB from HBM.  This kernel reads the
+# RAW words directly (16x less DMA) and expands them in VMEM: the
+# expansion out[r, l] = praw[8r + 64 + (l >> 4)] is a fixed 0/1 selection,
+# evaluated as one exact f32 MXU matmul per 16-bit half (each output
+# element is a single-term sum of a value < 2^16, exact in f32) — every
+# reshape keeps the 128-lane minor dim intact, sidestepping Mosaic's
+# unsupported shape casts.  Run ids are computed arithmetically from the
+# run-start bounds in SMEM, so no run-id plane exists at all.
+
+RAW_ROWS = TILE_ROWS // 16 + 1        # 18: words 64..2303 cover the tile
+
+
+def _expand_words(raw):
+    """(RAW_ROWS, 128) uint32 raw words -> (TILE_ROWS, 128) window-indexed
+    plane: out[r, l] = flat(raw)[8*r + 64 + (l >> 4)].
+
+    Output chunk c (16 tile rows) reads words 64..191 of raw rows (c, c+1).
+    Both the row-(c+1) shift and the word selection run as MXU matmuls
+    over 8-BIT value chunks (TPU matmuls compute in bf16 at default
+    precision — 16-bit halves round, verified on hardware; 8-bit values
+    are bf16-exact and every output element is a single-term sum):
+    Mosaic rejects concatenating/materializing operands whose sublane
+    offset differs (roll and [1:] slices both carry a lazy offset
+    layout), while matmul outputs are always offset-canonical."""
+    chunks = TILE_ROWS // 16
+
+    # shift-by-one-row selection: nxt = E1 @ raw
+    ci = lax.broadcasted_iota(jnp.int32, (chunks, RAW_ROWS), 0)
+    ri = lax.broadcasted_iota(jnp.int32, (chunks, RAW_ROWS), 1)
+    e1 = (ri == ci + 1).astype(jnp.bfloat16)                # (17, 18)
+
+    # word selection: w = 8*s + 64 + (l >> 4) over j = s*128 + l; row c
+    # covers w in [64, 128), row c+1 covers w - 128 in [0, 64)
+    w2 = lax.broadcasted_iota(jnp.int32, (LANES, 16 * LANES), 0)
+    j = lax.broadcasted_iota(jnp.int32, (LANES, 16 * LANES), 1)
+    w = 8 * (j // LANES) + 64 + (j % LANES) // 16
+    sel_a = (w2 == w).astype(jnp.bfloat16)                  # (128, 2048)
+    sel_b = (w2 + LANES == w).astype(jnp.bfloat16)
+
+    out = jnp.zeros((chunks, 16 * LANES), jnp.uint32)
+    for k in range(4):
+        byte = pltpu.bitcast((raw >> (8 * k)) & jnp.uint32(0xFF),
+                             jnp.int32).astype(jnp.bfloat16)
+        nxt = jnp.dot(e1, byte, preferred_element_type=jnp.float32) \
+            .astype(jnp.bfloat16)
+        ob = (jnp.dot(byte[:chunks], sel_a,
+                      preferred_element_type=jnp.float32)
+              + jnp.dot(nxt, sel_b, preferred_element_type=jnp.float32))
+        out = out | (pltpu.bitcast(ob.astype(jnp.int32), jnp.uint32)
+                     << (8 * k))
+    return out.reshape(chunks, 16, LANES).reshape(TILE_ROWS, LANES)
+
+
+def _compact_raw_kernel(pc_hbm, pr_hbm, mask_ref, salt_ref, bounds_ref,
+                        meta_ref, *refs, window: int, scale: int,
+                        variant: str, k_slots: int, out_words: int,
+                        k_bounds: int):
+    """_compact_kernel fed by RAW packed-word planes: VMEM expansion via
+    _expand_words, run ids from bounds (meta_ref (G, 2) = [rid0, vlen])."""
+    outs = refs[:out_words]
+    ocnt, pc_s, pr_s, sems = refs[out_words:]
+    g = pl.program_id(0)
+    b = pl.program_id(1)
+    slot = _pipelined_dma((pc_hbm, pr_hbm), (pc_s, pr_s), sems,
+                          nblocks=pl.num_programs(1), brows=16)
+    qc = _expand_words(pc_s[slot])
+    qr = _expand_words(pr_s[slot])
+
+    # run-id tile: t = code position of tile element (r, l); id = rid0 +
+    # (# run starts <= t), -1 outside [0, vlen) — matches the expanded
+    # rid plane of ops/sketch.sketch_batch_compact bit-exactly
+    row = lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 0)
+    lane = lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
+    t = b * BLOCK + row * LANES + lane - _LEAD
+    r = jnp.full((TILE_ROWS, LANES), meta_ref[g, 0], jnp.int32)
+    for kk in range(k_bounds):
+        r = r + (t >= bounds_ref[g, kk]).astype(jnp.int32)
+    rid = jnp.where((t >= 0) & (t < meta_ref[g, 1]), r, jnp.int32(-1))
+
+    canon, keep = _extract_block_packed(
+        qc, qr, rid, [mask_ref[g, q] for q in range(KEY_WORDS)],
+        window=window, salt=(salt_ref[g, 0], salt_ref[g, 1]),
+        scale=scale, variant=variant)
+    canon = canon[:out_words]
+    _compact_epilogue(canon, keep, outs, ocnt, k_slots, out_words)
+
+
+def extract_compact_windows_raw(p, bounds, rid0, vlen, mask_words, *,
+                                nw: int, window: int, salt, scale: int,
+                                variant: str, k_slots: int,
+                                out_words: int = KEY_WORDS,
+                                interpret: bool = False):
+    """Compact-input kernel entry: p (G, body/16) uint32 raw 2-bit packed
+    codes (16 per word LSB-first, positions past the genome packed as 0),
+    bounds (G, K) int32 sorted interior run starts (padded with a value
+    past every position), rid0/vlen (G,) int32.  Output contract identical
+    to extract_compact_windows_prepacked."""
+    from ..bitops import _rev32_2bit
+
+    g, n16 = p.shape
+    nwp = ((nw + BLOCK - 1) // BLOCK) * BLOCK
+    nblocks = nwp // BLOCK
+    rows = nblocks * 16 + RAW_ROWS - 16
+    assert 32 * out_words >= 2 * window
+
+    # complemented pack = bitwise NOT (sum_u (3-c_u)<<2u == ~sum_u c_u<<2u);
+    # reversed pack = 2-bit-unit word reversal.  Tiny: body/16 words.
+    lead = jnp.zeros((g, LANES), jnp.uint32)
+    pad = rows * LANES - LANES - n16
+    fill = jnp.zeros((g, pad), jnp.uint32)
+    pc2 = jnp.concatenate([lead, ~p, fill], axis=1).reshape(g, rows, LANES)
+    pr2 = jnp.concatenate([lead, _rev32_2bit(p), fill], axis=1) \
+        .reshape(g, rows, LANES)
+
+    mask_words, salts = _norm_mask_salt(mask_words, salt, g)
+    k_bounds = bounds.shape[1]
+    meta = jnp.stack([rid0.astype(jnp.int32), vlen.astype(jnp.int32)],
+                     axis=1)
+
+    kern = functools.partial(_compact_raw_kernel, window=window, scale=scale,
+                             variant=variant, k_slots=k_slots,
+                             out_words=out_words, k_bounds=k_bounds)
+    rows_out = nwp // LANES
+    word_shape = jax.ShapeDtypeStruct((g, rows_out, k_slots), jnp.uint32)
+    outs = pl.pallas_call(
+        kern,
+        grid=(g, nblocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((g, KEY_WORDS), lambda gi, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, 2), lambda gi, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, k_bounds), lambda gi, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, 2), lambda gi, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            [pl.BlockSpec((1, BROWS, k_slots), lambda gi, b: (gi, b, 0),
+                          memory_space=pltpu.VMEM)] * out_words
+            + [pl.BlockSpec((1, BROWS, 1), lambda gi, b: (gi, b, 0),
+                            memory_space=pltpu.VMEM)]),
+        out_shape=[word_shape] * out_words + [
+            jax.ShapeDtypeStruct((g, rows_out, 1), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, RAW_ROWS, LANES), jnp.uint32),
+            pltpu.VMEM((2, RAW_ROWS, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )(pc2, pr2, mask_words, salts, bounds.astype(jnp.int32), meta)
+    words = [o.reshape(g, rows_out * k_slots) for o in outs[:out_words]]
+    rowcnt = outs[out_words].reshape(g, rows_out)
+    return words, rowcnt, nw
 
 
 @functools.partial(jax.jit,

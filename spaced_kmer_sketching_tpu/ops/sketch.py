@@ -270,23 +270,40 @@ def sketch_batch_compact(p, bounds, rid0, valid_len, mask_words, *, n: int,
     (G,) int32 id of the run open at position 0, valid_len (G,) int32 real
     code count.
 
-    The window-index planes the prepacked kernel consumes are expanded ON
-    DEVICE: complement packing is ~p (3-c == c^3 per 2-bit lane), reverse
-    packing is the 2-bit-unit word reversal, both repeated 16x into window
-    space, and the run-id plane is rid0 + #bounds <= pos (-1 past
-    valid_len) — bit-identical to ops/pallas/extract.pack_genomes_np
-    output for consecutive run ids.  Measured on the 16M-nt streaming
-    segment: the full-plane path paid 5.6 s numpy pack + 3.5 s of 400 MB
-    upload against 0.09 s of device work; the compact upload is ~8 MB."""
-    from .bitops import _rev32_2bit
-    from .pallas.extract import (_LEAD, LANES, packed_body,
-                                 extract_compact_windows_prepacked)
+    Default path: the raw-plane kernel (ops/pallas/extract.
+    extract_compact_windows_raw) reads the 2-bit words directly and
+    expands them in VMEM (16x less DMA than the expanded planes, and none
+    of the ~12-15 ms/dispatch of XLA pad/copy expansion passes the
+    measured trace attributed to the old formulation); run ids come
+    arithmetically from the bounds in SMEM.  SKS_COMPACT_EXPAND=xla
+    selects the original XLA expansion (repeat to window space + rid
+    plane) feeding the prepacked kernel — both bit-identical.  Measured
+    on the 16M-nt streaming segment: the full host-plane path paid 5.6 s
+    numpy pack + 3.5 s of 400 MB upload against 0.09 s of device work;
+    the compact upload is ~8 MB."""
+    from .pallas.extract import packed_body
 
     g, pw = p.shape
     body = pw * 16
     assert body == packed_body(n), (body, packed_body(n))
     nw = n - window + 1
     k_slots = _k_slots_for(nw, scale, capacity)
+
+    # bounds ride SMEM in the raw kernel; huge g x K batches fall back
+    raw_ok = (os.environ.get("SKS_COMPACT_EXPAND", "kernel") != "xla"
+              and g * bounds.shape[1] <= 4096)
+    if raw_ok:
+        from .pallas.extract import extract_compact_windows_raw
+        words, rowcnt, _ = extract_compact_windows_raw(
+            p, bounds, rid0, valid_len, mask_words, nw=nw, window=window,
+            salt=salt, scale=scale, variant=variant, k_slots=k_slots,
+            out_words=finish_words(window), interpret=interpret)
+        return _finish_dispatch(words, rowcnt, nw, k_slots, capacity, scale,
+                                interpret)
+
+    from .bitops import _rev32_2bit
+    from .pallas.extract import (_LEAD, LANES,
+                                 extract_compact_windows_prepacked)
 
     lead32 = jnp.zeros((g, _LEAD), jnp.uint32)
     qc = jnp.concatenate([lead32, jnp.repeat(~p, 16, axis=1)], axis=1)
