@@ -412,3 +412,38 @@ def test_multiseed_shared_planes_interpret():
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
     for a, b in zip(got[0], want[0]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sketch_batch_compact_expand_ab(monkeypatch):
+    """The raw-plane kernel (default) and the XLA expansion fallback
+    (SKS_COMPACT_EXPAND=xla) are bit-identical."""
+    from spaced_kmer_sketching_tpu.ops.pallas.extract import packed_body
+    from spaced_kmer_sketching_tpu.ops.sketch import sketch_batch_compact
+
+    window, k, scale, cap = 18, 12, 10, 1024
+    mask = spaced_seed_mask(window, k, 0)
+    salt = boosthash.fmh_salt(mask.lo, mask.hi, window, 1, "modern")
+    rng = np.random.default_rng(3)
+    n = 40000
+    codes = rng.integers(0, 4, n).astype(np.uint8)
+    body = packed_body(n)
+    c = np.zeros((body,), np.uint8)
+    c[:n] = codes
+    w = np.uint32(1) << (2 * np.arange(16, dtype=np.uint32))
+    p = (c.reshape(-1, 16).astype(np.uint32) * w).sum(-1,
+                                                      dtype=np.uint32)[None]
+    b = np.full((1, 8), body, np.int32)
+    b[0, 0] = 11111
+    args = (jnp.asarray(p), jnp.asarray(b),
+            jnp.asarray(np.array([3], np.int32)),
+            jnp.asarray(np.array([n], np.int32)), jnp.asarray(mask.words_u32))
+    kw = dict(n=n, window=window, salt=salt, scale=scale, variant="modern",
+              capacity=cap, interpret=True)
+    monkeypatch.delenv("SKS_COMPACT_EXPAND", raising=False)
+    raw = sketch_batch_compact(*args, **kw)
+    monkeypatch.setenv("SKS_COMPACT_EXPAND", "xla")
+    xla = sketch_batch_compact(*args, **kw)
+    np.testing.assert_array_equal(np.asarray(raw.count), np.asarray(xla.count))
+    np.testing.assert_array_equal(np.asarray(raw.keys), np.asarray(xla.keys))
+    np.testing.assert_array_equal(np.asarray(raw.raw_kept),
+                                  np.asarray(xla.raw_kept))
