@@ -43,6 +43,21 @@ _WORD = 32
 # operands and T entries are 0/1; int8 doubles the v5e MXU rate, A/B knob)
 _GRAM_MM = _os.environ.get("SKS_GRAM_MM", "bf16")
 
+# Tile-scan engine: "fused" (default — the VMEM Pallas kernel in
+# pallas/gram_tiles.py, measured 1.5x the XLA scan on a 2.1M-entry tile:
+# 3.45 vs 5.22 ms) or "xla" (the _gram_chunks_packed lax.scan).  The
+# fused kernel only covers chunk=128, gidbits <= 10, gp <= 1024 on
+# TPU/interpret backends; everything else falls back to the XLA scan.
+_TILE_SCAN = _os.environ.get("SKS_TILE_SCAN", "fused")
+
+
+def _use_fused_scan(chunk: int, gidbits: int, gp: int,
+                    interpret: bool) -> bool:
+    from .pallas.sort import LANES as _L
+    return (_TILE_SCAN == "fused" and chunk == _L and gidbits <= 10
+            and gp <= 1024
+            and (interpret or jax.default_backend() == "tpu"))
+
 
 def build_rank_layout(keys: np.ndarray, counts: np.ndarray, *,
                       tile: int = 2048):
@@ -454,6 +469,10 @@ def gram_all_pairs_ondevice(keys, counts, *, chunk: int | None = None,
     if npad:
         sw = [jnp.concatenate([w, jnp.full((npad,), 0xFFFFFFFF, jnp.uint32)])
               for w in sw]
+    if _use_fused_scan(chunk, gidbits, gp, interpret):
+        from .pallas.gram_tiles import gram_tile_scan_fused
+        acc = gram_tile_scan_fused(sw, gidbits, gp, interpret=interpret)
+        return acc[:g, :g].astype(jnp.int32)
     if binner is None:
         # more chunks per scan step amortize XLA's per-step overhead
         # (measured 15.2 -> 12.9 ms at G=256 going 32 -> 256) but the
@@ -657,7 +676,7 @@ def gram_pair_tiles(cache, ii, jj, *, block: int, gidbits: int,
     block must be a multiple of 128 (the rect one-hot width is 2*block on
     the MXU lane grid) and gidbits must cover 2*block (the jj side's gids
     are offset by +block inside the packed gid field)."""
-    from .pallas.sort import LANES, merge_sorted_runs
+    from .pallas.sort import LANES, merge_pair_streams
 
     nb, pw, rows, _ = cache.shape
     assert block % LANES == 0
@@ -673,15 +692,15 @@ def gram_pair_tiles(cache, ii, jj, *, block: int, gidbits: int,
         # all-ones (their guard bit is set).
         validj = (pj[pw - 1] >> 31) == 0
         pj0 = pj[0] + jnp.where(validj, jnp.uint32(block), jnp.uint32(0))
-        planes = [jnp.concatenate(
-            [pi[q], pj0 if q == 0 else pj[q]], axis=0) for q in range(pw)]
+        pjs = [pj0 if q == 0 else pj[q] for q in range(pw)]
         if jax.default_backend() != "tpu" and not interpret:
-            flat = [p.reshape(n) for p in planes]
+            flat = [jnp.concatenate([pi[q], pjs[q]], axis=0).reshape(n)
+                    for q in range(pw)]
             srt = lax.sort(tuple(flat[::-1]), num_keys=pw)
             merged = [s.reshape(2 * rows, LANES) for s in srt[::-1]]
         else:
-            merged = merge_sorted_runs(planes, rows, interpret=interpret,
-                                       nkeys=pw)
+            merged = merge_pair_streams(list(pi), pjs, interpret=interpret,
+                                        nkeys=pw)
         # A fully VMEM-resident Pallas scan kernel for this step was built
         # and RETIRED in round 4 (ops/pallas/gram_scan.py, removed): it was
         # exact but Mosaic lowered its per-chunk (128, 1) column-slice
@@ -689,9 +708,14 @@ def gram_pair_tiles(cache, ii, jj, *, block: int, gidbits: int,
         # per 2M-entry tile), and every alternative layout still needs a
         # per-chunk sublane-vector broadcast — see BASELINE_RESULTS.md.
         sw = [p.reshape(n) for p in merged]
-        acc = _gram_chunks_packed(sw, gidbits, 2 * block, chunk,
-                                  binner=binner, split=block,
-                                  vary_axes=vary_axes)
+        if _use_fused_scan(chunk, gidbits, 2 * block, interpret):
+            from .pallas.gram_tiles import gram_tile_scan_fused
+            acc = gram_tile_scan_fused(sw, gidbits, 2 * block, split=block,
+                                       interpret=interpret)
+        else:
+            acc = _gram_chunks_packed(sw, gidbits, 2 * block, chunk,
+                                      binner=binner, split=block,
+                                      vary_axes=vary_axes)
         # int16 when the caller knows counts fit (cap <= 32767) — the
         # result download is half the bytes through the host tunnel
         return None, acc.astype(out_dtype)

@@ -402,6 +402,43 @@ def _merge_pass_xla(planes, d: int, run: int, nkeys: int = KEY_WORDS):
     return out
 
 
+def merge_pair_streams(pa, pb, interpret: bool = False,
+                       nkeys: int = KEY_WORDS):
+    """Merge TWO ascending sorted streams (each a list of (rows, 128)
+    planes) into one ascending 2*rows-row stream WITHOUT materializing a
+    reversal: the bitonic merge of [A asc, reverse(B)] pairs slot i with
+    slot N+i in its first pass, and slot N+i holds B[N-1-i] — so pass one
+    is computed directly as min/max(A[i], B[N-1-i]) with the reversal
+    fused into the elementwise XLA pass.  merge_sorted_runs' standalone
+    `rev` was 1.66 ms/tile on hardware (an unfused lane+sublane shuffle,
+    ~20x HBM speed of light) because its output feeds a Pallas kernel and
+    XLA cannot fuse into kernel operands; inline in an XLA select fusion
+    it is ~free.  Remaining passes (d < N) are the ordinary hybrid rounds.
+    The first `nkeys` planes are the key; extra planes ride along (same
+    tie argument as _lex_lt_tb)."""
+    rows = pa[0].shape[0]
+    assert pb[0].shape[0] == rows
+    brev = [b[::-1, ::-1] for b in pb]
+    a_lt = _lex_lt_tb(pa, brev, nkeys)
+    planes = [jnp.concatenate([jnp.where(a_lt, a, r),
+                               jnp.where(a_lt, r, a)], axis=0)
+              for a, r in zip(pa, brev)]
+    if 2 * rows <= MERGE_PALLAS_MAX_ROWS or (jax.default_backend() != "tpu"
+                                             and not interpret):
+        # small tiles / CPU: finish as plain XLA passes (d = N already done)
+        d = rows * LANES // 2
+        while d >= 1:
+            planes = _merge_pass_xla(planes, d, 2 * rows * LANES, nkeys)
+            d //= 2
+        return planes
+    blk = MERGE_PALLAS_MAX_ROWS
+    d = rows * LANES // 2
+    while d >= blk * LANES:
+        planes = _merge_pass_xla(planes, d, 2 * rows * LANES, nkeys)
+        d //= 2
+    return _merge_finish(planes, rows, blk, interpret, nkeys)
+
+
 def merge_sorted_runs(planes, run_rows: int, interpret: bool = False,
                       nkeys: int = KEY_WORDS):
     """Merge-sort (R, 128) planes whose consecutive `run_rows`-row runs are
