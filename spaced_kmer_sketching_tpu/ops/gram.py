@@ -711,6 +711,7 @@ def gram_pair_tiles(cache, ii, jj, *, block: int, gidbits: int,
         if _use_fused_scan(chunk, gidbits, 2 * block, interpret):
             from .pallas.gram_tiles import gram_tile_scan_fused
             acc = gram_tile_scan_fused(sw, gidbits, 2 * block, split=block,
+                                       vary_axes=vary_axes,
                                        interpret=interpret)
         else:
             acc = _gram_chunks_packed(sw, gidbits, 2 * block, chunk,

@@ -205,11 +205,14 @@ def default_sb(gp: int) -> int:
 
 def gram_tile_scan_fused(sw, gidbits: int, gp: int, *,
                          split: int | None = None, sb: int | None = None,
-                         interpret: bool = False):
+                         vary_axes=(), interpret: bool = False):
     """Drop-in fused replacement for ops/gram._gram_chunks_packed at
     chunk=128: sw = pw sorted packed (key, gid) planes (n,) uint32 ->
     (r, c) f32 Gram accumulation (r = split or gp, c = gp - c0), bit-equal
-    to the XLA scan.  gp, split must be multiples of 128 and gp < 2047."""
+    to the XLA scan.  gp, split must be multiples of 128 and gp < 2047.
+    Under shard_map pass the mesh axis names as vary_axes so the kernel's
+    out_shape declares how it varies across devices (same contract as the
+    XLA scan's carry pcasts)."""
     assert gp % LANES == 0 and 0 < gp < GID_SENT
     r = gp if split is None else split
     c0 = 0 if split is None else split
@@ -233,7 +236,8 @@ def gram_tile_scan_fused(sw, gidbits: int, gp: int, *,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((r, gp - c0), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r, gp - c0), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r, gp - c0), jnp.float32,
+                                       vma=frozenset(vary_axes)),
         scratch_shapes=[
             pltpu.VMEM((gp, sb * LANES), jnp.bfloat16),    # h
             pltpu.VMEM((gp, sb * LANES), jnp.bfloat16),    # sp

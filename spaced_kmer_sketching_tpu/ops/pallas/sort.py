@@ -28,6 +28,16 @@ LANES = 128
 KEY_WORDS = 4
 
 
+def _sds(shape, dtype, like):
+    """ShapeDtypeStruct whose varying-manual-axes match `like`: under
+    shard_map with device-varying operands, pallas_call out_shapes must
+    declare how outputs vary across mesh axes (check_vma) — outputs of
+    these kernels vary exactly like their inputs."""
+    return jax.ShapeDtypeStruct(shape, dtype,
+                                vma=getattr(jax.typeof(like), "vma",
+                                            frozenset()))
+
+
 def _partner(x, d: int):
     """x[i ^ d] over the flattened (R, 128) plane, d a power of two."""
     if d < LANES:
@@ -112,8 +122,8 @@ def bitonic_sort_128(keys, interpret: bool = False):
         kern = functools.partial(_sort_kernel, n, nw)
         outs = pl.pallas_call(
             kern,
-            out_shape=[jax.ShapeDtypeStruct((r, LANES),
-                                            jnp.uint32)] * nw,
+            out_shape=[_sds((r, LANES), jnp.uint32,
+                            planes[0])] * nw,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * nw,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * nw,
             interpret=interpret,
@@ -168,7 +178,7 @@ def _tile_sort(planes, interpret, force_asc=False, tile_rows=TILE_ROWS):
                                memory_space=pltpu.VMEM)] * np_,
         out_specs=[pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * np_,
-        out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.uint32)] * np_,
+        out_shape=[_sds((r, LANES), jnp.uint32, planes[0])] * np_,
         interpret=interpret,
     )(*planes)
 
@@ -227,7 +237,7 @@ def sort_runs_128(planes, run_rows: int, interpret: bool = False):
                                memory_space=pltpu.VMEM)] * np_,
         out_specs=[pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * np_,
-        out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.uint32)] * np_,
+        out_shape=[_sds((r, LANES), jnp.uint32, planes[0])] * np_,
         interpret=interpret,
     )(*planes)
 
@@ -334,7 +344,7 @@ def _merge_finish(planes, lr: int, blk_rows: int, interpret,
                                memory_space=pltpu.VMEM)] * np_,
         out_specs=[pl.BlockSpec((blk_rows, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * np_,
-        out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.uint32)] * np_,
+        out_shape=[_sds((r, LANES), jnp.uint32, planes[0])] * np_,
         interpret=interpret,
     )(*planes)
 
@@ -370,7 +380,7 @@ def _merge_round(planes, lr: int, interpret, nkeys: int = KEY_WORDS):
                                memory_space=pltpu.VMEM)] * np_,
         out_specs=[pl.BlockSpec((2 * lr, LANES), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)] * np_,
-        out_shape=[jax.ShapeDtypeStruct((r, LANES), jnp.uint32)] * np_,
+        out_shape=[_sds((r, LANES), jnp.uint32, planes[0])] * np_,
         interpret=interpret,
     )(*planes)
 

@@ -137,3 +137,49 @@ def test_wired_into_ondevice_gram():
         interpret=True))
     brute = np.array([[len(a & b) for b in sets] for a in sets], np.int64)
     assert np.array_equal(out[:g, :g].astype(np.int64), brute)
+
+
+def test_fused_under_shard_map():
+    """gram_pair_tiles with the fused kernel composes with shard_map
+    (device-varying tile indices against a replicated cache) and stays
+    exact.  check_vma=False here: interpret-mode pallas inlines the kernel
+    as jax ops whose scratch/constant values are unvarying, which trips
+    the vma checker even though the compiled Mosaic path is fine — the
+    strict-vma composition (pallas out_shapes declaring varying axes via
+    ops/pallas/sort._sds and gram_tile_scan_fused's vary_axes) is
+    verified on real hardware (mesh_all_pairs_packed, BASELINE_RESULTS)."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    rng = np.random.default_rng(11)
+    block, cap, key_bits, gidbits = 128, 256, 40, 8
+    pw = gram.pack_plan(key_bits, gidbits)
+    nb = 2
+    slab = np.full((nb * block, cap, 2), 0xFFFFFFFF, np.uint32)
+    for i in range(nb * block):
+        c = int(rng.integers(1, cap))
+        ks = np.sort(rng.choice(1 << 22, size=c, replace=False)) \
+            .astype(np.uint64)
+        slab[i, :c, 0] = (ks & 0xFFFFFFFF).astype(np.uint32)
+        slab[i, :c, 1] = (ks >> 32).astype(np.uint32)
+    cache = gram.presort_blocks_packed(
+        jnp.asarray(slab), block=block, key_bits=key_bits,
+        gidbits=gidbits, pw=pw, interpret=True)
+    devs = jax.devices()
+    nd = 2 if len(devs) >= 2 else 1
+    mesh = Mesh(np.array(devs[:nd]), ("d",))
+    ii = jnp.array([0, 1] * nd, jnp.int32)
+    jj = jnp.array([1, 1] * nd, jnp.int32)
+
+    def local(cache, ii, jj):
+        return gram.gram_pair_tiles(cache, ii, jj, block=block,
+                                    gidbits=gidbits, interpret=True,
+                                    vary_axes=("d",))
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=(P(), P("d"), P("d")),
+                       out_specs=P("d"), check_vma=False)
+    tiles = np.asarray(jax.jit(fn)(cache, ii, jj))
+    direct = np.asarray(gram.gram_pair_tiles(cache, ii[:2], jj[:2],
+                                             block=block, gidbits=gidbits,
+                                             interpret=True))
+    assert np.array_equal(tiles[:2], direct)
