@@ -28,6 +28,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .sort import _sds
+
 LANES = 128
 
 
@@ -95,8 +97,7 @@ def bucket_intersect_padded(planes, *, slots: int, nl: int,
         ],
         out_specs=pl.BlockSpec((row_block, LANES), lambda i, j, c: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, (g // col_block) * LANES),
-                                       jnp.int32),
+        out_shape=_sds((g, (g // col_block) * LANES), jnp.int32, planes),
         interpret=interpret,
     )(planes, planes)
 

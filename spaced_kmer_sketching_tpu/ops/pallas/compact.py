@@ -30,6 +30,10 @@ from jax.experimental import pallas as pl
 
 from .extract import _lane_cumsum
 
+from .sort import _sds
+
+
+
 KEY_WORDS = 4
 LANES = 128
 SENT = 0xFFFFFFFF
@@ -197,7 +201,7 @@ def compact_global(words, *, interpret: bool = False):
         grid=(g,),
         in_specs=[pl.BlockSpec((1, r, LANES), lambda gi: (gi, 0, 0))] * np_,
         out_specs=[pl.BlockSpec((1, r, LANES), lambda gi: (gi, 0, 0))] * np_,
-        out_shape=[jax.ShapeDtypeStruct((g, r, LANES), jnp.uint32)] * np_,
+        out_shape=[_sds((g, r, LANES), jnp.uint32, words[0])] * np_,
         interpret=interpret,
     )(*[w.reshape(g, r, LANES) for w in words])
     return [o.reshape(g, n) for o in outs]
@@ -223,7 +227,7 @@ def compact_rows(words, k_out: int, *, interpret: bool = False):
                                lambda gi, t: (gi, t, 0))] * np_,
         out_specs=[pl.BlockSpec((1, rt, k_out),
                                 lambda gi, t: (gi, t, 0))] * np_,
-        out_shape=[jax.ShapeDtypeStruct((g, r, k_out), jnp.uint32)] * np_,
+        out_shape=[_sds((g, r, k_out), jnp.uint32, words[0])] * np_,
         interpret=interpret,
     )(*words)
     return list(outs)

@@ -30,6 +30,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
 from .. import u64ops
 
 KEY_WORDS = 4
@@ -45,6 +46,8 @@ HALO_ROWS = BROWS + 8             # extra 1024 codes cover window-1 <= 63
 # on hardware at 3.65 ms/step vs 3.86 for onehot at k_slots=8 (and its
 # cost does not grow when a smaller scale needs more slots).
 import os as _os
+
+from .sort import _sds
 _EPILOGUE = _os.environ.get("SKS_EPILOGUE", "butterfly")
 
 
@@ -487,7 +490,7 @@ def extract_compact_windows_raw(p, bounds, rid0, vlen, mask_words, *,
                              variant=variant, k_slots=k_slots,
                              out_words=out_words, k_bounds=k_bounds)
     rows_out = nwp // LANES
-    word_shape = jax.ShapeDtypeStruct((g, rows_out, k_slots), jnp.uint32)
+    word_shape = _sds((g, rows_out, k_slots), jnp.uint32, pc2)
     outs = pl.pallas_call(
         kern,
         grid=(g, nblocks),
@@ -509,7 +512,7 @@ def extract_compact_windows_raw(p, bounds, rid0, vlen, mask_words, *,
             + [pl.BlockSpec((1, BROWS, 1), lambda gi, b: (gi, b, 0),
                             memory_space=pltpu.VMEM)]),
         out_shape=[word_shape] * out_words + [
-            jax.ShapeDtypeStruct((g, rows_out, 1), jnp.int32)],
+            _sds((g, rows_out, 1), jnp.int32, pc2)],
         scratch_shapes=[
             pltpu.VMEM((2, RAW_ROWS, LANES), jnp.uint32),
             pltpu.VMEM((2, RAW_ROWS, LANES), jnp.uint32),
@@ -560,8 +563,8 @@ def extract_filter_windows_batched(codes, run_id, mask_words, *, window: int,
         ],
         out_specs=[pl.BlockSpec((1, BROWS, LANES), lambda gi, b: (gi, b, 0),
                                 memory_space=pltpu.VMEM)] * 5,
-        out_shape=[jax.ShapeDtypeStruct((g, nwp // LANES, LANES),
-                                        jnp.uint32)] * 5,
+        out_shape=[_sds((g, nwp // LANES, LANES), jnp.uint32,
+                        codes2)] * 5,
         scratch_shapes=[
             pltpu.VMEM((HALO_ROWS, LANES), jnp.uint32),
             pltpu.VMEM((HALO_ROWS, LANES), jnp.int32),
@@ -721,7 +724,7 @@ def extract_compact_windows_prepacked(qc2, qr2, rid2, mask_words, *,
     kern = functools.partial(_compact_kernel, window=window,
                              scale=scale, variant=variant, k_slots=k_slots,
                              out_words=out_words, shared=shared)
-    word_shape = jax.ShapeDtypeStruct((g, rows, k_slots), jnp.uint32)
+    word_shape = _sds((g, rows, k_slots), jnp.uint32, qc2)
     outs = pl.pallas_call(
         kern,
         grid=(g, nwp // BLOCK),
@@ -740,7 +743,7 @@ def extract_compact_windows_prepacked(qc2, qr2, rid2, mask_words, *,
             + [pl.BlockSpec((1, BROWS, 1), lambda gi, b: (gi, b, 0),
                             memory_space=pltpu.VMEM)]),
         out_shape=[word_shape] * out_words + [
-            jax.ShapeDtypeStruct((g, rows, 1), jnp.int32)],
+            _sds((g, rows, 1), jnp.int32, qc2)],
         scratch_shapes=[
             pltpu.VMEM((2, TILE_ROWS, LANES), jnp.uint32),
             pltpu.VMEM((2, TILE_ROWS, LANES), jnp.uint32),
