@@ -142,3 +142,40 @@ def test_multi_run_sort_alternating_directions(run_rows):
             want = want[::-1]
         np.testing.assert_array_equal(out[i * run:(i + 1) * run], want,
                                       err_msg=f"run {i}")
+
+
+def test_merge_pair_streams_matches_sort():
+    """merge_pair_streams (reversal-free bitonic pair merge) == global
+    sort of the concatenation, including duplicate keys, ride-along tag
+    planes and sentinel tails."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from spaced_kmer_sketching_tpu.ops.pallas.sort import (
+        LANES, merge_pair_streams)
+
+    rng = np.random.default_rng(23)
+    rows = 4                                   # 512 entries per stream
+    n = rows * LANES
+    for trial in range(3):
+        sides = []
+        for _ in range(2):
+            cnt = int(rng.integers(1, n))
+            v = rng.integers(0, 500, size=cnt, dtype=np.uint32)
+            t = rng.integers(0, 1 << 31, size=cnt, dtype=np.uint32)
+            # inputs must be sorted in the comparator's TOTAL order
+            # (key, then tag) — the packed (key, gid) planes always are
+            o = np.lexsort((t, v))
+            key = np.full(n, 0xFFFFFFFF, np.uint32)
+            tag = np.full(n, 0xFFFFFFFF, np.uint32)
+            key[:cnt] = v[o]
+            tag[:cnt] = t[o]
+            sides.append([jnp.asarray(key.reshape(rows, LANES)),
+                          jnp.asarray(tag.reshape(rows, LANES))])
+        merged = merge_pair_streams(sides[0], sides[1], nkeys=1)
+        got = [np.asarray(p).reshape(n * 2) for p in merged]
+        allk = np.concatenate([np.asarray(p[0]).reshape(n) for p in sides])
+        allt = np.concatenate([np.asarray(p[1]).reshape(n) for p in sides])
+        order = np.lexsort((allt, allk))       # tag is the tiebreaker
+        assert np.array_equal(got[0], allk[order])
+        assert np.array_equal(got[1], allt[order])
