@@ -49,6 +49,7 @@ def _stream(rng, g, cap, key_bits, gidbits, universe_size):
     (1, 16, 128, 16, 64),      # tiny universe -> long runs (>= 3 chunks)
     (2, 8, 256, 33, 1024),     # pw = 2 live words, sparse runs
     (3, 4, 512, 24, 16),       # runs up to 4 long crossing sb boundaries
+    (4, 8, 256, 55, 128),      # pw = 3 packed planes (window >= 29 shape)
 ])
 def test_fused_matches_xla_and_brute(seed, g, cap, key_bits, universe):
     rng = np.random.default_rng(seed)
