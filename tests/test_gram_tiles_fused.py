@@ -61,6 +61,12 @@ def test_fused_matches_xla_and_brute(seed, g, cap, key_bits, universe):
     fused = np.asarray(gram_tile_scan_fused(sw, gidbits, gp, sb=8,
                                             interpret=True))
     assert np.array_equal(ref, fused)
+    if seed == 0:
+        # sb that does not divide the chunk-row count exercises the
+        # sentinel-padding path (pad rows contribute nothing)
+        fused5 = np.asarray(gram_tile_scan_fused(sw, gidbits, gp, sb=5,
+                                                 interpret=True))
+        assert np.array_equal(ref, fused5)
     rect = np.asarray(gram_tile_scan_fused(sw, gidbits, gp, split=128,
                                            sb=8, interpret=True))
     assert np.array_equal(ref[:128, 128:], rect)
