@@ -40,7 +40,9 @@ from jax import lax
 _WORD = 32
 
 # Gram chunk-scan matmul dtype: "bf16" (default) or "i8" (both exact —
-# operands and T entries are 0/1; int8 doubles the v5e MXU rate, A/B knob)
+# operands and T entries are 0/1; int8 doubles the v5e MXU rate, A/B knob).
+# Only consulted by the XLA chunk scan: the default fused Pallas engine is
+# bf16-only, so an i8 A/B must also set SKS_TILE_SCAN=xla.
 _GRAM_MM = _os.environ.get("SKS_GRAM_MM", "bf16")
 
 # Tile-scan engine: "fused" (default — the VMEM Pallas kernel in
@@ -711,7 +713,6 @@ def gram_pair_tiles(cache, ii, jj, *, block: int, gidbits: int,
         if _use_fused_scan(chunk, gidbits, 2 * block, interpret):
             from .pallas.gram_tiles import gram_tile_scan_fused
             acc = gram_tile_scan_fused(sw, gidbits, 2 * block, split=block,
-                                       vary_axes=vary_axes,
                                        interpret=interpret)
         else:
             acc = _gram_chunks_packed(sw, gidbits, 2 * block, chunk,

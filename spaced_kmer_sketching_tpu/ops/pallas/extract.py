@@ -490,7 +490,7 @@ def extract_compact_windows_raw(p, bounds, rid0, vlen, mask_words, *,
                              variant=variant, k_slots=k_slots,
                              out_words=out_words, k_bounds=k_bounds)
     rows_out = nwp // LANES
-    word_shape = _sds((g, rows_out, k_slots), jnp.uint32, pc2)
+    word_shape = _sds((g, rows_out, k_slots), jnp.uint32, pc2, salts)
     outs = pl.pallas_call(
         kern,
         grid=(g, nblocks),
@@ -512,7 +512,7 @@ def extract_compact_windows_raw(p, bounds, rid0, vlen, mask_words, *,
             + [pl.BlockSpec((1, BROWS, 1), lambda gi, b: (gi, b, 0),
                             memory_space=pltpu.VMEM)]),
         out_shape=[word_shape] * out_words + [
-            _sds((g, rows_out, 1), jnp.int32, pc2)],
+            _sds((g, rows_out, 1), jnp.int32, pc2, salts)],
         scratch_shapes=[
             pltpu.VMEM((2, RAW_ROWS, LANES), jnp.uint32),
             pltpu.VMEM((2, RAW_ROWS, LANES), jnp.uint32),
@@ -724,7 +724,7 @@ def extract_compact_windows_prepacked(qc2, qr2, rid2, mask_words, *,
     kern = functools.partial(_compact_kernel, window=window,
                              scale=scale, variant=variant, k_slots=k_slots,
                              out_words=out_words, shared=shared)
-    word_shape = _sds((g, rows, k_slots), jnp.uint32, qc2)
+    word_shape = _sds((g, rows, k_slots), jnp.uint32, qc2, salts)
     outs = pl.pallas_call(
         kern,
         grid=(g, nwp // BLOCK),
@@ -743,7 +743,7 @@ def extract_compact_windows_prepacked(qc2, qr2, rid2, mask_words, *,
             + [pl.BlockSpec((1, BROWS, 1), lambda gi, b: (gi, b, 0),
                             memory_space=pltpu.VMEM)]),
         out_shape=[word_shape] * out_words + [
-            _sds((g, rows, 1), jnp.int32, qc2)],
+            _sds((g, rows, 1), jnp.int32, qc2, salts)],
         scratch_shapes=[
             pltpu.VMEM((2, TILE_ROWS, LANES), jnp.uint32),
             pltpu.VMEM((2, TILE_ROWS, LANES), jnp.uint32),

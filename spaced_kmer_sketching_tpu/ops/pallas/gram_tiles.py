@@ -55,7 +55,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sort import LANES
+from .sort import LANES, _sds
 
 # meta word layout (int32, one per stream entry)
 GID_BITS = 11                      # gp < 2047; sentinel entries get all-ones
@@ -107,12 +107,16 @@ def tile_meta(sw, gidbits: int):
 
 def _scan_kernel(sb: int, gp: int, r: int, c0: int,
                  meta_ref, out_ref, h_ref, sp_ref, ef_ref,
-                 amat_ref, bmat_ref, pmat_ref, acc_ref, pcar_ref):
+                 amat_ref, bmat_ref, pmat_ref, pcar_ref):
     s = pl.program_id(0)
 
+    # the output block maps to (0, 0) at every grid step, so it stays
+    # VMEM-resident for the whole grid and doubles as the accumulator —
+    # a separate acc scratch would just duplicate its footprint (4 MB at
+    # the gp=1024 ondevice gate)
     @pl.when(s == 0)
     def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        out_ref[:] = jnp.zeros_like(out_ref)
         pcar_ref[:] = jnp.zeros_like(pcar_ref)
 
     meta = meta_ref[:]                                     # (sb, 128) i32
@@ -180,7 +184,7 @@ def _scan_kernel(sb: int, gp: int, r: int, c0: int,
 
     # main term: sum_k H_k^T H_k over the whole step in one contraction;
     # rows of h are gids, so the rect split is two sublane slices
-    acc_ref[:] += lax.dot_general(
+    out_ref[:] += lax.dot_general(
         h_ref[:r, :], h_ref[c0:, :], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) \
         + lax.dot_general(pmat_ref[:, :r], bmat_ref[:, c0:],
@@ -189,10 +193,6 @@ def _scan_kernel(sb: int, gp: int, r: int, c0: int,
         + lax.dot_general(bmat_ref[:, :r], pmat_ref[:, c0:],
                           (((0,), (0,)), ((), ())),
                           preferred_element_type=jnp.float32)
-
-    @pl.when(s == pl.num_programs(0) - 1)
-    def _():
-        out_ref[:] = acc_ref[:]
 
 
 def default_sb(gp: int) -> int:
@@ -205,14 +205,14 @@ def default_sb(gp: int) -> int:
 
 def gram_tile_scan_fused(sw, gidbits: int, gp: int, *,
                          split: int | None = None, sb: int | None = None,
-                         vary_axes=(), interpret: bool = False):
+                         interpret: bool = False):
     """Drop-in fused replacement for ops/gram._gram_chunks_packed at
     chunk=128: sw = pw sorted packed (key, gid) planes (n,) uint32 ->
     (r, c) f32 Gram accumulation (r = split or gp, c = gp - c0), bit-equal
     to the XLA scan.  gp, split must be multiples of 128 and gp < 2047.
-    Under shard_map pass the mesh axis names as vary_axes so the kernel's
-    out_shape declares how it varies across devices (same contract as the
-    XLA scan's carry pcasts)."""
+    Under shard_map the out_shape's varying-manual-axes are derived from
+    the stream itself (ops/pallas/sort._sds), so no caller plumbing is
+    needed."""
     assert gp % LANES == 0 and 0 < gp < GID_SENT
     r = gp if split is None else split
     c0 = 0 if split is None else split
@@ -236,8 +236,7 @@ def gram_tile_scan_fused(sw, gidbits: int, gp: int, *,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((r, gp - c0), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r, gp - c0), jnp.float32,
-                                       vma=frozenset(vary_axes)),
+        out_shape=_sds((r, gp - c0), jnp.float32, meta),
         scratch_shapes=[
             pltpu.VMEM((gp, sb * LANES), jnp.bfloat16),    # h
             pltpu.VMEM((gp, sb * LANES), jnp.bfloat16),    # sp
@@ -245,7 +244,6 @@ def gram_tile_scan_fused(sw, gidbits: int, gp: int, *,
             pltpu.VMEM((sb, gp), jnp.float32),             # amat
             pltpu.VMEM((sb, gp), jnp.float32),             # bmat
             pltpu.VMEM((sb, gp), jnp.float32),             # pmat
-            pltpu.VMEM((r, gp - c0), jnp.float32),         # acc
             pltpu.VMEM((1, gp), jnp.float32),              # p carry
         ],
         interpret=interpret,

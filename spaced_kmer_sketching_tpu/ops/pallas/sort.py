@@ -28,14 +28,17 @@ LANES = 128
 KEY_WORDS = 4
 
 
-def _sds(shape, dtype, like):
-    """ShapeDtypeStruct whose varying-manual-axes match `like`: under
-    shard_map with device-varying operands, pallas_call out_shapes must
-    declare how outputs vary across mesh axes (check_vma) — outputs of
-    these kernels vary exactly like their inputs."""
-    return jax.ShapeDtypeStruct(shape, dtype,
-                                vma=getattr(jax.typeof(like), "vma",
-                                            frozenset()))
+def _sds(shape, dtype, *likes):
+    """ShapeDtypeStruct whose varying-manual-axes are the UNION of the
+    `likes` operands': under shard_map with device-varying operands,
+    pallas_call out_shapes must declare how outputs vary across mesh axes
+    (check_vma) — outputs of these kernels vary like their inputs, and a
+    kernel with several inputs (e.g. a replicated genome plane plus
+    sharded per-seed salts) varies with any of them."""
+    vma = frozenset()
+    for like in likes:
+        vma = vma | getattr(jax.typeof(like), "vma", frozenset())
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
 
 
 def _partner(x, d: int):
@@ -433,19 +436,23 @@ def merge_pair_streams(pa, pb, interpret: bool = False,
     planes = [jnp.concatenate([jnp.where(a_lt, a, r),
                                jnp.where(a_lt, r, a)], axis=0)
               for a, r in zip(pa, brev)]
-    if 2 * rows <= MERGE_PALLAS_MAX_ROWS or (jax.default_backend() != "tpu"
-                                             and not interpret):
-        # small tiles / CPU: finish as plain XLA passes (d = N already done)
+    if (2 * rows < 8) or (jax.default_backend() != "tpu"
+                          and not interpret):
+        # sub-minimum-block tiles / CPU: plain XLA passes (d = N done)
         d = rows * LANES // 2
         while d >= 1:
             planes = _merge_pass_xla(planes, d, 2 * rows * LANES, nkeys)
             d //= 2
         return planes
-    blk = MERGE_PALLAS_MAX_ROWS
+    blk = min(MERGE_PALLAS_MAX_ROWS, 2 * rows)
     d = rows * LANES // 2
     while d >= blk * LANES:
         planes = _merge_pass_xla(planes, d, 2 * rows * LANES, nkeys)
         d //= 2
+    # when blk == 2*rows the finish kernel's first pass (d0 = rows*LANES)
+    # repeats the fused pass above — a compare-exchange is idempotent, so
+    # this only costs one redundant VMEM pass and keeps small tiles off
+    # the log2(N)-XLA-HBM-pass path
     return _merge_finish(planes, rows, blk, interpret, nkeys)
 
 

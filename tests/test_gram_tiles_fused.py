@@ -19,19 +19,21 @@ from spaced_kmer_sketching_tpu.ops.pallas.gram_tiles import (
 
 
 def _stream(rng, g, cap, key_bits, gidbits, universe_size):
-    """Random sorted packed (key, gid) stream + per-genome key sets."""
+    """Random sorted packed (key, gid) stream + per-genome key sets.
+    Keys draw from the FULL key_bits range (both uint32 words live for
+    key_bits > 32) so multi-plane packing carries real entropy."""
     pw = gram.pack_plan(key_bits, gidbits)
     keys = np.full((g, cap, 2), 0xFFFFFFFF, np.uint32)
     counts = rng.integers(0, cap + 1, size=g)
-    universe = rng.choice(1 << min(key_bits, 30), size=universe_size,
-                          replace=False)
+    universe = rng.choice(1 << min(key_bits, 60), size=universe_size,
+                          replace=False).astype(np.uint64)
     sets = []
     for i in range(g):
         ks = np.sort(rng.choice(universe, size=min(counts[i], universe.size),
                                 replace=False))
         counts[i] = ks.size
-        keys[i, :ks.size, 0] = ks.astype(np.uint32)
-        keys[i, :ks.size, 1] = 0
+        keys[i, :ks.size, 0] = (ks & 0xFFFFFFFF).astype(np.uint32)
+        keys[i, :ks.size, 1] = (ks >> np.uint64(32)).astype(np.uint32)
         sets.append(set(ks.tolist()))
     kj = jnp.asarray(keys)
     gid = jnp.broadcast_to(jnp.arange(g, dtype=jnp.uint32)[:, None],
@@ -49,7 +51,8 @@ def _stream(rng, g, cap, key_bits, gidbits, universe_size):
     (1, 16, 128, 16, 64),      # tiny universe -> long runs (>= 3 chunks)
     (2, 8, 256, 33, 1024),     # pw = 2 live words, sparse runs
     (3, 4, 512, 24, 16),       # runs up to 4 long crossing sb boundaries
-    (4, 8, 256, 55, 128),      # pw = 3 packed planes (window >= 29 shape)
+    (4, 8, 256, 60, 128),      # pw = 3 packed planes (window >= 28 shape:
+                               # 60 key bits + 5 gid bits + guard > 64)
 ])
 def test_fused_matches_xla_and_brute(seed, g, cap, key_bits, universe):
     rng = np.random.default_rng(seed)
@@ -153,7 +156,7 @@ def test_fused_under_shard_map():
     as jax ops whose scratch/constant values are unvarying, which trips
     the vma checker even though the compiled Mosaic path is fine — the
     strict-vma composition (pallas out_shapes declaring varying axes via
-    ops/pallas/sort._sds and gram_tile_scan_fused's vary_axes) is
+    ops/pallas/sort._sds) is
     verified on real hardware (mesh_all_pairs_packed, BASELINE_RESULTS)."""
     import jax
     from jax.sharding import Mesh, PartitionSpec as P

@@ -70,7 +70,11 @@ def main():
         out = run()
     float(jnp.sum(out.astype(jnp.int32)))
     dt = (time.perf_counter() - t0) / args.iters
-    print(f"engine={gram._TILE_SCAN} backend={jax.default_backend()} "
+    # report the engine the gate ACTUALLY picked (the knob alone would
+    # mislabel fallback shapes, e.g. --block 1024 -> gp 2048 -> xla)
+    engine = ("fused" if gram._use_fused_scan(128, gidbits, 2 * block,
+                                              False) else "xla")
+    print(f"engine={engine} backend={jax.default_backend()} "
           f"{p} tiles/dispatch: {dt * 1e3:.2f} ms total, "
           f"{dt / p * 1e3:.3f} ms/tile")
     if args.trace:
