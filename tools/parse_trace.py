@@ -1,4 +1,6 @@
-"""Parse the latest trace in /tmp/sks_trace: per-track op durations."""
+"""Parse the latest trace in /tmp/sks_trace: per-track op durations.
+
+Usage: parse_trace.py [N]   (top N ops per track, default 15)"""
 import glob
 import gzip
 import json
@@ -29,5 +31,6 @@ for track, ops in sorted(by_track.items(),
                          key=lambda kv: -sum(kv[1].values())):
     total = sum(ops.values())
     print(f"\n=== track {track}  total {total/1000.0:.3f} ms")
-    for name, d in sorted(ops.items(), key=lambda kv: -kv[1])[:15]:
+    top = int(sys.argv[1]) if len(sys.argv) > 1 else 15
+    for name, d in sorted(ops.items(), key=lambda kv: -kv[1])[:top]:
         print(f"  {d/1000.0:9.3f} ms x{cnt[track][name]:4d}  {name[:100]}")
