@@ -124,7 +124,11 @@ def main() -> int:
                          "RNG genomes (skips the FASTA text parse); "
                          "device = genomes synthesized on device (zero "
                          "ingest — the pure device-resident number)")
-    ap.add_argument("--dispatch", type=int, default=32,
+    ap.add_argument("--e2e-repeat", type=int, default=1,
+                    help="runs of the e2e flow in one process; the last "
+                         "run is reported (strips per-process program-load "
+                         "latency)")
+    ap.add_argument("--dispatch", type=int, default=128,
                     help="genomes per sketch dispatch in --mode e2e")
     args = ap.parse_args()
     if args.iters < 1:
@@ -755,6 +759,13 @@ def bench_e2e(args) -> int:
             nominal = n
 
         res = pipe.all_pairs(src, g, nominal, verify_ids=verify_ids)
+        # --e2e-repeat N re-runs the whole flow in-process and reports the
+        # LAST run: strips one-time per-process executable-load latency
+        # (the remote compile/load service charges seconds per program
+        # under degraded conditions) from the steady-state number; every
+        # run still verifies.
+        for _ in range(max(0, args.e2e_repeat - 1)):
+            res = pipe.all_pairs(src, g, nominal, verify_ids=verify_ids)
         wall = res.phases["total_s"]
 
         verified = None

@@ -384,40 +384,57 @@ def _expand_words(raw):
     plane: out[r, l] = flat(raw)[8*r + 64 + (l >> 4)].
 
     Output chunk c (16 tile rows) reads words 64..191 of raw rows (c, c+1).
-    Both the row-(c+1) shift and the word selection run as MXU matmuls
-    over 8-BIT value chunks (TPU matmuls compute in bf16 at default
-    precision — 16-bit halves round, verified on hardware; 8-bit values
-    are bf16-exact and every output element is a single-term sum):
-    Mosaic rejects concatenating/materializing operands whose sublane
-    offset differs (roll and [1:] slices both carry a lazy offset
+    The whole expansion is ONE stacked selection matmul: the four 8-bit
+    value chunks of each word ride the M axis (M = 4*24, chunk rows padded
+    to a sublane multiple) and the row-c / row-(c+1) source words ride the
+    K axis (lane concat, K = 256), preceded by two tiny row-pick matmuls.
+    The first formulation ran 12 separate M=17 matmuls per plane per tile
+    (4 row-shift + 8 selection) — the MXU runs M=17 at ~13% utilization
+    and each tiny matmul pays fixed issue cost; stacking measured the
+    compact dispatch 60.9 -> 52.5 ms at g=128 (r5).  Exactness: operands
+    are 8-bit values and 0/1 selectors, so every output element is a
+    single-term sum — exact in bf16 x bf16 -> f32 (16-bit value chunks
+    would ROUND: TPU matmuls compute in bf16 at default precision,
+    verified on hardware).  Matmuls are used instead of rolls/slices
+    because Mosaic rejects concatenating/materializing operands whose
+    sublane offset differs (roll and [1:] slices both carry a lazy offset
     layout), while matmul outputs are always offset-canonical."""
-    chunks = TILE_ROWS // 16
+    chunks = TILE_ROWS // 16          # 17
+    cp = 24                           # chunk rows padded to a sublane mult
+    nb = 4                            # 8-bit value chunks per uint32
 
-    # shift-by-one-row selection: nxt = E1 @ raw
-    ci = lax.broadcasted_iota(jnp.int32, (chunks, RAW_ROWS), 0)
-    ri = lax.broadcasted_iota(jnp.int32, (chunks, RAW_ROWS), 1)
-    e1 = (ri == ci + 1).astype(jnp.bfloat16)                # (17, 18)
+    # byte planes stacked on sublanes: B[k*RAW_ROWS + r, l] = byte_k(raw)
+    B = jnp.concatenate(
+        [pltpu.bitcast((raw >> (8 * k)) & jnp.uint32(0xFF),
+                       jnp.int32).astype(jnp.bfloat16) for k in range(nb)],
+        axis=0)                                         # (72, 128)
 
-    # word selection: w = 8*s + 64 + (l >> 4) over j = s*128 + l; row c
-    # covers w in [64, 128), row c+1 covers w - 128 in [0, 64)
-    w2 = lax.broadcasted_iota(jnp.int32, (LANES, 16 * LANES), 0)
-    j = lax.broadcasted_iota(jnp.int32, (LANES, 16 * LANES), 1)
+    # row picks: A[k*cp + c] = byte_k row c;  Nx[k*cp + c] = byte_k row c+1
+    co = lax.broadcasted_iota(jnp.int32, (nb * cp, nb * RAW_ROWS), 0)
+    ro = lax.broadcasted_iota(jnp.int32, (nb * cp, nb * RAW_ROWS), 1)
+    same = (co // cp == ro // RAW_ROWS) & (co % cp < chunks)
+    ea = (same & (ro % RAW_ROWS == co % cp)).astype(jnp.bfloat16)
+    eb = (same & (ro % RAW_ROWS == co % cp + 1)).astype(jnp.bfloat16)
+    A = jnp.dot(ea, B, preferred_element_type=jnp.float32) \
+        .astype(jnp.bfloat16)
+    Nx = jnp.dot(eb, B, preferred_element_type=jnp.float32) \
+        .astype(jnp.bfloat16)
+    C = jnp.concatenate([A, Nx], axis=1)                # (96, 256)
+
+    # selection: w = 8*s + 64 + (l >> 4) over j = s*128 + l; K rows
+    # 0..127 hold row c (covers w in [64, 128)), 128..255 hold row c+1
+    # (covers w - 128 in [0, 64) -> K row 128 + (w - 128) = w): both
+    # branches reduce to w2 == w on the stacked K axis.
+    w2 = lax.broadcasted_iota(jnp.int32, (2 * LANES, 16 * LANES), 0)
+    j = lax.broadcasted_iota(jnp.int32, (2 * LANES, 16 * LANES), 1)
     w = 8 * (j // LANES) + 64 + (j % LANES) // 16
-    sel_a = (w2 == w).astype(jnp.bfloat16)                  # (128, 2048)
-    sel_b = (w2 + LANES == w).astype(jnp.bfloat16)
+    sel = (w2 == w).astype(jnp.bfloat16)                # (256, 2048)
 
-    out = jnp.zeros((chunks, 16 * LANES), jnp.uint32)
-    for k in range(4):
-        byte = pltpu.bitcast((raw >> (8 * k)) & jnp.uint32(0xFF),
-                             jnp.int32).astype(jnp.bfloat16)
-        nxt = jnp.dot(e1, byte, preferred_element_type=jnp.float32) \
-            .astype(jnp.bfloat16)
-        ob = (jnp.dot(byte[:chunks], sel_a,
-                      preferred_element_type=jnp.float32)
-              + jnp.dot(nxt, sel_b, preferred_element_type=jnp.float32))
-        out = out | (pltpu.bitcast(ob.astype(jnp.int32), jnp.uint32)
-                     << (8 * k))
-    return out.reshape(chunks, 16, LANES).reshape(TILE_ROWS, LANES)
+    ob = pltpu.bitcast(
+        jnp.dot(C, sel, preferred_element_type=jnp.float32)
+        .astype(jnp.int32), jnp.uint32).reshape(nb, cp, 16 * LANES)
+    out = ob[0] | (ob[1] << 8) | (ob[2] << 16) | (ob[3] << 24)
+    return out[:chunks].reshape(chunks, 16, LANES).reshape(TILE_ROWS, LANES)
 
 
 def _compact_raw_kernel(pc_hbm, pr_hbm, mask_ref, salt_ref, bounds_ref,

@@ -403,9 +403,13 @@ def _tree_chain(m: int, windows_per_slot: float, scale: int, capacity: int,
         stages.append((rows, k_out))
         m = rows * k_out
         wps = LANES_ * wps / k_out
-    # a final sort at up to 2x capacity (then truncate) is still far
-    # cheaper than the sort-everything fallbacks
-    return stages if m <= 2 * capacity else None
+    # the chain output only feeds a cheap butterfly hole-close (the real
+    # sort runs over a statically expected-count-sized front window), so a
+    # chain is useful whenever it shrank the candidates meaningfully; the
+    # old 2x-capacity bail sent the config-4 pipeline shape (m = 6*cap,
+    # one 64-slot stage -> m = 3*cap) to _finish_runs, measured ~20%
+    # slower per window than the tree finish on identical inputs (r5)
+    return stages if m <= 4 * capacity else None
 
 
 LANES_ = 128

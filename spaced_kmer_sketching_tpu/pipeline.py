@@ -150,7 +150,7 @@ class DevicePipeline:
     each sketch program (block % dispatch == 0)."""
 
     def __init__(self, sketcher: FracMinHashSketcher, *, block: int = 128,
-                 dispatch: int = 32, pair_batch: int = 256):
+                 dispatch: int = 128, pair_batch: int = 256):
         if block % 128 or block & (block - 1):
             raise ValueError("block must be a power-of-two multiple of 128")
         if block % dispatch and dispatch % block:
