@@ -100,9 +100,6 @@ def main() -> int:
     ap.add_argument("--probe", action="store_true",
                     help="allpairs: use the XLA binary-search probe instead "
                          "of the MXU Gram-matrix path")
-    ap.add_argument("--bucket", action="store_true",
-                    help="allpairs: use the Pallas bucketized VPU kernel "
-                         "instead of the MXU Gram-matrix path")
     ap.add_argument("--blocked", action="store_true",
                     help="allpairs: run the memory-bounded macro-tile "
                          "schedule (parallel.allpairs.blocked_all_pairs, "
@@ -309,9 +306,10 @@ def bench_allpairs(args) -> int:
     Default path: the MXU Gram-matrix formulation (ops/gram.py) — global
     rank layout built host-side once per experiment, intersections as one
     scanned X^T X matmul on device, full-matrix verification against the
-    native C++ sorted-merge.  --bucket selects the Pallas bucketized VPU
-    kernel (1.3e6 pairs/s); --probe the XLA binary-search probe (measured
-    287 pairs/s on this TPU: gathers serialize)."""
+    native C++ sorted-merge.  --probe selects the XLA binary-search probe
+    (measured 287 pairs/s on this TPU: gathers serialize).  The Pallas
+    bucketized VPU engine (--bucket) was RETIRED in round 5 — see
+    BASELINE_RESULTS.md."""
     import time
     import jax
     import jax.numpy as jnp
@@ -445,36 +443,6 @@ def bench_allpairs(args) -> int:
         mat = np.asarray(out).astype(np.int64)
         build_ms = corr_ms = 0.0
         build_warm_ms = None
-    elif args.bucket:
-        from spaced_kmer_sketching_tpu.ops.bucketized import (
-            build_bucket_layout, spill_correction)
-        from spaced_kmer_sketching_tpu.ops.pallas.bucket_intersect import (
-            bucket_intersect_padded, unpad_matrix)
-        window = args.window
-        t0 = time.perf_counter()
-        planes_np, spills = build_bucket_layout(keys_np, counts_np, window)
-        build_ms = (time.perf_counter() - t0) * 1e3
-        build_warm_ms = None
-        nl = planes_np.shape[1] // 4
-        planes = jnp.asarray(planes_np)
-        interp = jax.default_backend() != "tpu"
-
-        def allpairs():
-            return bucket_intersect_padded(planes, slots=4, nl=nl,
-                                           interpret=interp)
-
-        out = allpairs()
-        checksum = int(np.asarray(out.sum()))    # compile + force
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = allpairs()
-        assert int(np.asarray(out.sum())) == checksum
-        dt = (time.perf_counter() - t0) / args.iters
-        t0 = time.perf_counter()
-        mat = unpad_matrix(out, g, 8)
-        if any(len(s) for s in spills):
-            mat = mat + spill_correction(keys_np, counts_np, spills)
-        corr_ms = (time.perf_counter() - t0) * 1e3
     elif args.ondevice:
         from spaced_kmer_sketching_tpu.ops.gram import (
             gram_all_pairs_ondevice, key_words_for_window)

@@ -23,11 +23,15 @@ lengths — is the device-ready layout: the extraction kernels consume
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, List, Tuple
+import logging
+from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 
+from ..observability import get_logger
 from ..utils import native
+
+log = get_logger(__name__)
 
 _CODE = np.full(256, 4, dtype=np.uint8)
 for _c, _v in (("A", 0), ("C", 1), ("G", 2), ("T", 3)):
@@ -51,8 +55,13 @@ class PackedSeqs:
         return np.concatenate([[0], np.cumsum(self.run_lens)[:-1]]).astype(np.int64)
 
 
-def records_from_fasta_text(text: str) -> List[str]:
-    """Record strings per the reference's line rules (pure-Python path)."""
+def records_from_fasta_text(text: str, path: Optional[str] = None) -> List[str]:
+    """Record strings per the reference's line rules (pure-Python path).
+
+    With `path` given and INFO logging enabled, each flushed record logs
+    "Read <name> from file <path>" — the reference's per-record LOGGING
+    line (fasta_processing.cpp:102-103,127-128)."""
+    info = path is not None and log.isEnabledFor(logging.INFO)
     records: List[str] = []
     name = ""
     content: List[str] = []
@@ -62,6 +71,8 @@ def records_from_fasta_text(text: str) -> List[str]:
     for line in lines:
         if line == "" or line[0] == ">":
             if name:
+                if info:
+                    log.info("Read %s from file %s", name, path)
                 records.append("".join(content))
             if line:
                 name = line[1:]
@@ -73,6 +84,8 @@ def records_from_fasta_text(text: str) -> List[str]:
             else:
                 content.append(line)
     if name:
+        if info:
+            log.info("Read %s from file %s", name, path)
         records.append("".join(content))
     return records
 
@@ -98,8 +111,15 @@ def _cut_runs(records: Iterable[str]) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def read_fasta(path: str, use_native: bool = True) -> PackedSeqs:
-    """Parse + pack a FASTA file into PackedSeqs (native fast path if built)."""
-    if use_native and native.available():
+    """Parse + pack a FASTA file into PackedSeqs (native fast path if built).
+
+    With INFO logging enabled the parse routes through the Python parser
+    so every record emits the reference's per-record line "Read <name>
+    from file <f>" (fasta_processing.cpp:102-103,127-128) — mirroring the
+    reference, whose LOGGING build also pays its logging cost in the
+    parse loop; the native parser does not track record names."""
+    if (use_native and native.available()
+            and not log.isEnabledFor(logging.INFO)):
         parsed = native.fasta_parse(path)
         if parsed is not None:
             codes, run_lens = parsed
@@ -110,5 +130,5 @@ def read_fasta(path: str, use_native: bool = True) -> PackedSeqs:
     except OSError as e:
         raise FileNotFoundError(f"Unable to open {path}") from e
     # match std::getline: records split on '\n'; drop nothing else
-    codes, run_lens = _cut_runs(records_from_fasta_text(text))
+    codes, run_lens = _cut_runs(records_from_fasta_text(text, path))
     return PackedSeqs(codes=codes, run_lens=run_lens)

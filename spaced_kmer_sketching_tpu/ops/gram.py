@@ -56,9 +56,18 @@ _TILE_SCAN = _os.environ.get("SKS_TILE_SCAN", "fused")
 def _use_fused_scan(chunk: int, gidbits: int, gp: int,
                     interpret: bool) -> bool:
     from .pallas.sort import LANES as _L
-    return (_TILE_SCAN == "fused" and chunk == _L and gidbits <= 10
-            and gp <= 1024
-            and (interpret or jax.default_backend() == "tpu"))
+    # SKS_GRAM_MM targets the XLA chunk scan's matmul dtype, so honoring
+    # it means actually RUNNING the XLA scan — with the default fused
+    # engine the knob was silently ignored and A/B measurements got
+    # mislabeled (ADVICE r4)
+    # SKS_FORCE_FUSED_TRACE=1 lets a non-TPU backend TRACE the compiled
+    # kernel path (jax.eval_shape never lowers, so Mosaic is not invoked)
+    # — the multichip dryrun uses it to check the pallas_call vma
+    # contract under shard_map without a real chip (__graft_entry__.py)
+    return (_TILE_SCAN == "fused" and _GRAM_MM != "i8" and chunk == _L
+            and gidbits <= 10 and gp <= 1024
+            and (interpret or jax.default_backend() == "tpu"
+                 or _os.environ.get("SKS_FORCE_FUSED_TRACE") == "1"))
 
 
 def build_rank_layout(keys: np.ndarray, counts: np.ndarray, *,

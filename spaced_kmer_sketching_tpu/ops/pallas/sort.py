@@ -431,6 +431,10 @@ def merge_pair_streams(pa, pb, interpret: bool = False,
     tie argument as _lex_lt_tb)."""
     rows = pa[0].shape[0]
     assert pb[0].shape[0] == rows
+    # the bitonic pass distances (rows*LANES//2 halving to 1) only form a
+    # valid merge network for power-of-two stream lengths; a non-power-of
+    # -two would merge silently WRONG rather than error (ADVICE r4)
+    assert rows & (rows - 1) == 0, rows
     brev = [b[::-1, ::-1] for b in pb]
     a_lt = _lex_lt_tb(pa, brev, nkeys)
     planes = [jnp.concatenate([jnp.where(a_lt, a, r),

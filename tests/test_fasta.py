@@ -201,3 +201,34 @@ def test_sketch_files_auto_streams_big_files(tmp_path, monkeypatch):
     for w, g in zip(want, got):
         assert g.count == w.count and g.name == w.name
         np.testing.assert_array_equal(g.keys, w.keys)
+
+
+def test_per_record_info_logging(tmp_path, caplog):
+    """With INFO enabled, each flushed record logs the reference's
+    per-record line "Read <name> from file <f>"
+    (fasta_processing.cpp:102-103,127-128) — including from read_fasta's
+    default (native-preferred) entry, which routes through the Python
+    parser when INFO is on."""
+    import logging
+
+    p = write(tmp_path, ">r1\nACGT\n>r2 desc\nGGGG\n\nTTTT\n")
+    with caplog.at_level(logging.INFO,
+                         logger="spaced_kmer_sketching_tpu.ingest.fasta"):
+        pk = read_fasta(p)
+    msgs = [r.getMessage() for r in caplog.records]
+    # r1 flushes at the '>r2' header; r2 flushes at the blank line AND at
+    # EOF (blank line keeps the name: two records under one name)
+    assert msgs == [f"Read r1 from file {p}",
+                    f"Read r2 desc from file {p}",
+                    f"Read r2 desc from file {p}"]
+    assert runs(pk) == [[0, 1, 2, 3], [2, 2, 2, 2], [3, 3, 3, 3]]
+
+    # with INFO disabled (default), no records are logged and the parse
+    # output is identical
+    caplog.clear()
+    with caplog.at_level(logging.WARNING,
+                         logger="spaced_kmer_sketching_tpu.ingest.fasta"):
+        pk2 = read_fasta(p)
+    assert not caplog.records
+    assert np.array_equal(pk.codes, pk2.codes)
+    assert np.array_equal(pk.run_lens, pk2.run_lens)
