@@ -151,7 +151,9 @@ class FracMinHashSketcher:
         the genomes are host-packed once (pack_genomes_np) and run the
         prepacked kernel; elsewhere the portable jnp path."""
         cfg = self.config
-        from ..ops.sketch import jitted_sketch_batch, jitted_sketch_batch_packed
+        from ..ops.sketch import (finish_words, jitted_sketch_batch,
+                                  jitted_sketch_batch_packed,
+                                  jitted_sketch_batch_packed_dyn)
         g, n = codes.shape
         if jax.default_backend() == "tpu":
             # per-genome cached pack+upload (window/mask-independent, so
@@ -160,10 +162,30 @@ class FracMinHashSketcher:
                     for i in range(g)]
             args = tuple(jnp.stack([r[j] for r in rows]) for j in range(3))
 
-            def make(cap):
-                return jitted_sketch_batch_packed(
-                    n, cfg.window, self.salt, cfg.scale, cfg.hash_variant,
-                    cap)
+            if _os2.environ.get("SKS_DYNWIN", "1") != "0":
+                # shared dynamic-window program: window/mask/salt are
+                # runtime operands, so every sweep config in the same
+                # (finish_words, capacity) bucket reuses ONE executable —
+                # the 62-config sweep traces/loads ~4 programs instead of
+                # 62.  Measured 2.4% slower per dispatch than the static
+                # program at g=64 x 2M nt (27.6 vs 27.0 ms; the fixed
+                # ~0.9 ms dynamic-roll overhead amortizes with batch).
+                # SKS_DYNWIN=0 restores per-config static programs.
+                from ..ops import u64ops
+                sp = jnp.asarray(u64ops.salt_pair(self.salt))
+                wa = jnp.asarray([cfg.window], np.uint32)
+                kw = finish_words(cfg.window)
+
+                def make(cap):
+                    fn = jitted_sketch_batch_packed_dyn(
+                        n, kw, cfg.scale, cfg.hash_variant, cap)
+                    return lambda qc_, qr_, rid_, mw: fn(qc_, qr_, rid_,
+                                                         mw, sp, wa)
+            else:
+                def make(cap):
+                    return jitted_sketch_batch_packed(
+                        n, cfg.window, self.salt, cfg.scale,
+                        cfg.hash_variant, cap)
         else:
             args = (jnp.asarray(codes), jnp.asarray(run_id))
 

@@ -64,14 +64,25 @@ def _slide(x, j: int):
     return jnp.where(lane < LANES - j, a, b)
 
 
-def _slide_far(x, j: int):
+def _slide_far(x, j):
     """_slide for arbitrary j >= 0: whole-row part via a sublane roll,
-    sub-row remainder via _slide."""
+    sub-row remainder via _slide.  j may be a TRACED scalar (the shared
+    dynamic-window sweep program): pltpu.roll takes dynamic shifts, and a
+    shift by the full axis size is the identity, so no Python branches
+    are needed — only the lane-boundary select keys off the remainder."""
     rows = x.shape[0]
-    rr, ll = divmod(j, LANES)
-    if rr:
-        x = pltpu.roll(x, rows - rr, 0)
-    return _slide(x, ll)
+    if isinstance(j, int):
+        rr, ll = divmod(j, LANES)
+        if rr:
+            x = pltpu.roll(x, rows - rr, 0)
+        return _slide(x, ll)
+    rr = j // LANES
+    ll = j % LANES
+    x = pltpu.roll(x, rows - rr, 0)
+    a = pltpu.roll(x, LANES - ll, 1)
+    b = pltpu.roll(a, rows - 1, 0)
+    lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < LANES - ll, a, b)
 
 
 # --- packed window construction ------------------------------------------
@@ -96,38 +107,44 @@ TILE_ROWS = HALO_ROWS + 8
 
 
 def _extract_block_packed(qc, qr, rid, mask_vals, *, window, salt,
-                          scale, variant):
+                          scale, variant, nwords=None):
     """Packed-slide kernel body: canonical masked keys + keep mask for one
     block.  qc/qr: (TILE_ROWS, 128) repeated packed plane VALUES (see
-    above); rid likewise with 8 leading pad rows."""
-    nwords = (2 * window + 31) // 32
+    above); rid likewise with 8 leading pad rows.
+
+    `window` may be a TRACED scalar (the shared dynamic-window sweep
+    program, with `nwords` then passed statically as the bucket's word
+    count): every window-dependence below is a slide offset (dynamic
+    rolls), a per-lane shift amount, or a mask AND — and mask words past
+    the TRUE ceil(2*window/32) are zero, so over-provisioned static
+    nwords only AND garbage slides with zero."""
+    if nwords is None:
+        nwords = (2 * window + 31) // 32
     lane = lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANES), 1)
 
     # slides at repeated offsets are shared: consecutive forward words
     # overlap (b1 of word q = b0 of word q-1, offsets step by 16), so
-    # memoizing cuts the forward-strand slides from 2*nwords to nwords+1
-    slides = {}
-
-    def sl(plane, name, off):
-        if (name, off) not in slides:
-            slides[(name, off)] = _slide_far(plane, off)
-        return slides[(name, off)]
-
+    # memoizing cuts the forward-strand slides from 2*nwords to nwords+1.
+    # Keys are INDEX-based (m), not offset values, so the sharing holds
+    # for traced offsets too.
     # reverse-complement strand: sequence-order complemented codes
-    acs = [sl(qc, "c", _LEAD + 16 * m) for m in range(nwords + 1)]
+    acs = [_slide_far(qc, _LEAD + 16 * m) for m in range(nwords + 1)]
     s_rc = (2 * (lane & 15)).astype(jnp.uint32)
     mr = []
     for m in range(nwords):
         x = (acs[m] >> s_rc) | (acs[m + 1] << ((32 - s_rc) & 31))
         mr.append(jnp.where(s_rc == 0, acs[m], x) & mask_vals[m])
 
-    # forward strand: reversed codes ending at the window top
+    # forward strand: reversed codes ending at the window top; offsets
+    # _LEAD + window - 16*m for m = 0..nwords (b0 of word q = slide m=q+1,
+    # b1 of word q = slide m=q)
+    rs = [_slide_far(qr, _LEAD + window - 16 * m) for m in range(nwords + 1)]
     mf = []
     for q in range(nwords):
         d = window - 16 * q - 16
         sb = (2 * ((lane + d) & 15)).astype(jnp.uint32)
-        b0 = sl(qr, "r", _LEAD + d)
-        b1 = sl(qr, "r", _LEAD + d + 16)
+        b0 = rs[q + 1]
+        b1 = rs[q]
         x = (b0 << sb) | (b1 >> ((32 - sb) & 31))
         mf.append(jnp.where(sb == 0, b0, x) & mask_vals[q])
 
@@ -311,11 +328,19 @@ def _compact_kernel(qc_hbm, qr_hbm, rid_hbm, mask_ref, salt_ref,
     g = pl.program_id(0)
     slot = _pipelined_dma((qc_hbm, qr_hbm, rid_hbm), (qc_s, qr_s, rid_s),
                           sems, nblocks=pl.num_programs(1), shared=shared)
+    if window is None:
+        # shared dynamic-window program: the window rides salt_ref col 2
+        # (one program serves every config of a (key_words, capacity)
+        # sweep bucket); nwords is statically the bucket's word count
+        win = salt_ref[g, 2].astype(jnp.int32)   # value <= 64: exact
+        nw_static = out_words
+    else:
+        win, nw_static = window, None
     canon, keep = _extract_block_packed(
         qc_s[slot], qr_s[slot], rid_s[slot],
         [mask_ref[g, q] for q in range(KEY_WORDS)],
-        window=window, salt=(salt_ref[g, 0], salt_ref[g, 1]),
-        scale=scale, variant=variant)
+        window=win, salt=(salt_ref[g, 0], salt_ref[g, 1]),
+        scale=scale, variant=variant, nwords=nw_static)
     canon = canon[:out_words]
     _compact_epilogue(canon, keep, outs, ocnt, k_slots, out_words)
 
@@ -734,7 +759,15 @@ def extract_compact_windows_prepacked(qc2, qr2, rid2, mask_words, *,
         assert qc2.shape[0] == 1, (qc2.shape, g)
     nwp = ((nw + BLOCK - 1) // BLOCK) * BLOCK
     rows = nwp // LANES
-    assert 32 * out_words >= 2 * window
+    if window is None:
+        # shared dynamic-window program: salt must arrive as a (g, 3)
+        # uint32 array [salt_hi, salt_lo, window]; nw is the bucket's
+        # window-independent upper bound (validity is enforced per window
+        # by the run-id compare inside the kernel)
+        assert not isinstance(salt, int) and salt.shape[1] == 3, \
+            "dynamic-window entry needs (g, 3) [hi, lo, window] salts"
+    else:
+        assert 32 * out_words >= 2 * window
 
     mask_words, salts = _norm_mask_salt(mask_words, salt, g)
 
@@ -751,7 +784,7 @@ def extract_compact_windows_prepacked(qc2, qr2, rid2, mask_words, *,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((g, KEY_WORDS), lambda gi, b: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((g, 2), lambda gi, b: (0, 0),
+            pl.BlockSpec((g, salts.shape[1]), lambda gi, b: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(

@@ -244,6 +244,49 @@ def jitted_sketch_batch_packed(n: int, window: int, salt: int, scale: int,
         variant=variant, capacity=capacity))
 
 
+def sketch_batch_packed_dyn(qc, qr, rid, mask_words, salt_pair, window_arr,
+                            *, n: int, kw: int, scale: int, variant: str,
+                            capacity: int,
+                            interpret: bool = False) -> SketchBatch:
+    """SHARED sweep-bucket sketch step: window, mask and salt are all
+    runtime OPERANDS, so every (window, k) config whose key-word count
+    (finish_words) and capacity agree reuses ONE compiled program — a
+    62-config reference sweep traces/loads ~4 distinct executables
+    instead of 62 (the measured per-config cost was ~0.9 s Python
+    tracing + executable load, BASELINE_RESULTS.md).
+
+    Correctness is window-independent by construction: the kernel's only
+    window dependences are slide offsets (dynamic rolls), per-lane shift
+    amounts, and the mask AND (mask words past ceil(2*window/32) are
+    zero); window validity near run ends falls out of the run-id compare
+    (rid[t] == rid[t + window - 1]), so the program's static window-count
+    upper bound nw_prog covers every window in the bucket.
+
+    salt_pair (2,) uint32 [hi, lo]; window_arr (1,) uint32."""
+    g = qc.shape[0]
+    w_min = 16 * (kw - 1) + 1         # smallest window with finish_words=kw
+    nw_prog = n - w_min + 1
+    k_slots = _k_slots_for(nw_prog, scale, capacity)
+    salts = jnp.broadcast_to(
+        jnp.concatenate([salt_pair.astype(jnp.uint32),
+                         window_arr.astype(jnp.uint32)])[None, :], (g, 3))
+    from .pallas.extract import extract_compact_windows_prepacked
+    words, rowcnt, _ = extract_compact_windows_prepacked(
+        qc, qr, rid, mask_words, nw=nw_prog, window=None, salt=salts,
+        scale=scale, variant=variant, k_slots=k_slots, out_words=kw,
+        interpret=interpret)
+    return _finish_dispatch(words, rowcnt, nw_prog, k_slots, capacity,
+                            scale, interpret)
+
+
+@functools.lru_cache(maxsize=32)
+def jitted_sketch_batch_packed_dyn(n: int, kw: int, scale: int, variant: str,
+                                   capacity: int):
+    return jax.jit(functools.partial(
+        sketch_batch_packed_dyn, n=n, kw=kw, scale=scale, variant=variant,
+        capacity=capacity))
+
+
 @functools.lru_cache(maxsize=32)
 def jitted_sketch_multiseed_packed(n: int, window: int, scale: int,
                                    variant: str, capacity: int):

@@ -212,3 +212,39 @@ def test_sketcher_multiseed_matches_per_seed():
                        run_lens=np.empty(0, np.int64))
     outs = sk.sketch_packed_multiseed(empty, seeds=range(2))
     assert [s.count for s in outs] == [0, 0]
+
+
+@pytest.mark.parametrize("window,k", [(10, 10), (20, 16), (31, 21),
+                                      (40, 30), (50, 40)])
+def test_dynwin_shared_program_matches_static(window, k):
+    """The SHARED dynamic-window sweep program (window/mask/salt as
+    runtime operands, ops/sketch.sketch_batch_packed_dyn) is bit-identical
+    to the static per-config path for every sweep bucket — including
+    multi-run genomes, where window validity near run ends must fall out
+    of the run-id compare rather than the static window count."""
+    from spaced_kmer_sketching_tpu.ops import u64ops
+    from spaced_kmer_sketching_tpu.ops.pallas.extract import pack_genomes_np
+    from spaced_kmer_sketching_tpu.ops.sketch import (finish_words,
+                                                      sketch_batch,
+                                                      sketch_batch_packed_dyn)
+    from spaced_kmer_sketching_tpu.utils.masks import spaced_seed_mask
+
+    mask = spaced_seed_mask(window, k, 0)
+    salt = boosthash.fmh_salt(mask.lo, mask.hi, window, 1, "modern")
+    rng = np.random.default_rng(window)
+    g, n, cap, scale = 3, 4096, 1024, 20
+    codes = rng.integers(0, 4, (g, n)).astype(np.uint32)
+    run_id = np.stack([run_ids_from_lens([1500, 900, n - 2400], n)] * g)
+    qc, qr, rid = pack_genomes_np(codes, run_id)
+    out_d = sketch_batch_packed_dyn(
+        jnp.asarray(qc), jnp.asarray(qr), jnp.asarray(rid),
+        jnp.asarray(mask.words_u32), jnp.asarray(u64ops.salt_pair(salt)),
+        jnp.asarray([window], np.uint32), n=n, kw=finish_words(window),
+        scale=scale, variant="modern", capacity=cap, interpret=True)
+    out_x = sketch_batch(
+        jnp.asarray(codes), jnp.asarray(run_id), jnp.asarray(mask.words_u32),
+        window=window, salt=salt, scale=scale, variant="modern", capacity=cap)
+    np.testing.assert_array_equal(np.asarray(out_d.count),
+                                  np.asarray(out_x.count))
+    np.testing.assert_array_equal(np.asarray(out_d.keys),
+                                  np.asarray(out_x.keys))
