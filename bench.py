@@ -808,6 +808,11 @@ def bench_e2e(args) -> int:
         "bytes_h2d": int(res.bytes_h2d),
         "bytes_d2h": int(res.bytes_d2h),
         "transport_frac_est": round(transport_s_est / wall, 4),
+        # peak device-memory evidence for the bounded-parking pipeline
+        # (per-block presort, VERDICT r4 item 4); None when the runtime
+        # does not expose allocator stats
+        "peak_hbm_bytes": (jax.devices()[0].memory_stats() or {}).get(
+            "peak_bytes_in_use"),
         "verified": verified,
     }
     print(json.dumps(result))

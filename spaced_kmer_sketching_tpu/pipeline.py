@@ -254,18 +254,57 @@ class DevicePipeline:
         bytes_h2d = 0
         bytes_d2h = 0
         sample_keys: Dict[int, np.ndarray] = {}
-        caches = []          # per-block (pw, rows, 128) device caches
-        parts: List[Tuple[int, jnp.ndarray]] = []   # collected (s0, keys)
+        caches: List = [None] * nb   # per-block (pw, rows_b, 128) caches
+        counts = np.zeros(g, np.int32)
         t_start = time.perf_counter()
 
-        # Dispatches are fully ASYNC: the loop only enqueues programs
-        # (device keys, raw/count scalars stay on device); per-dispatch
-        # scalar results download in ONE batched transfer afterwards —
-        # a synchronous np.asarray per dispatch paid a full host<->device
-        # round trip each (~1 s through a loaded tunnel, x80 dispatches
-        # at config-4 scale).  Host ingest of dispatch k+1 still overlaps
-        # device sketching of dispatch k because nothing here blocks.
-        raws_d, counts_d = [], []
+        # Dispatches are ASYNC (the loop only enqueues programs; device
+        # keys and raw/count scalars stay on device), but each block is
+        # PRESORTED as soon as its dispatches complete — a bounded
+        # in-flight window of LOOKAHEAD blocks — so the raw dispatch keys
+        # parked in HBM peak at O(lookahead * block * capacity) instead of
+        # O(G * capacity) (~1.3 GB at config 4, the r4 scaling ceiling:
+        # VERDICT r4 item 4).  Each block's cache is trimmed to ITS
+        # tightest 128-multiple power-of-two count (the tile scan's work
+        # is linear in cache width); mixed widths are sentinel-padded to
+        # the global maximum before tiling — appending all-ones rows to a
+        # sorted packed stream keeps it sorted, so the pad is exact.
+        LOOKAHEAD = 2
+        pending: List[Tuple[int, list, list, list]] = []  # per OPEN block
+
+        def finalize(b_idx, keyparts, raws_d, counts_d):
+            nonlocal bytes_d2h
+            # the scalar reads below WAIT for this block's sketches —
+            # device time, so it books under sketch_s; the transfers were
+            # already scheduled at enqueue time (copy_to_host_async), so
+            # no host->device request round trip is paid here (a
+            # synchronous per-block round trip measured ~25 ms each
+            # through the tunnel)
+            t0 = time.perf_counter()
+            raws = np.concatenate([np.asarray(x) for x in raws_d])
+            cnt = np.concatenate([np.asarray(x) for x in counts_d])
+            phases["sketch_s"] += time.perf_counter() - t0
+            bytes_d2h += raws.nbytes + cnt.nbytes
+            if int(raws.max()) > capacity:
+                raise _CapacityOverflow(
+                    1 << math.ceil(math.log2(int(raws.max()) + 1)))
+            t0 = time.perf_counter()
+            i0 = b_idx * block
+            counts[i0:i0 + cnt.shape[0]] = cnt
+            cap_b = max(128, 1 << int(math.ceil(math.log2(
+                max(1, int(cnt.max(initial=1)))))))
+            cap_b = min(cap_b, capacity)
+            kb = jnp.concatenate([p[:, :cap_b] for p in keyparts]) \
+                if len(keyparts) > 1 else keyparts[0][:, :cap_b]
+            if kb.shape[0] < block:        # ragged tail: sentinel sketches
+                pad = jnp.full((block - kb.shape[0], cap_b, kw),
+                               _SENT, jnp.uint32)
+                kb = jnp.concatenate([kb, pad])
+            caches[b_idx] = presort_block_packed(
+                kb, key_bits=key_bits, gidbits=gidbits, pw=pw)
+            keyparts.clear()               # frees the raw dispatch keys
+            phases["presort_s"] += time.perf_counter() - t0
+
         with span("sketching", log):
             for s0 in range(0, g, dispatch):
                 s1 = min(g, s0 + dispatch)
@@ -276,24 +315,33 @@ class DevicePipeline:
                 res, h2d = self._dispatch(batch, n, capacity)
                 bytes_h2d += h2d
                 phases["sketch_s"] += time.perf_counter() - t0
-                raws_d.append(res.raw_kept)
-                counts_d.append(res.count)
-                # append block-aligned slices so dispatches larger than a
-                # block (dispatch % block == 0) still assemble cleanly
+                # route block-aligned slices into per-block pending slots
+                # (dispatch and block divide one another, so a dispatch
+                # never splits a block boundary unevenly)
                 for off in range(0, s1 - s0, block):
-                    parts.append((s0 + off,
-                                  res.keys[off:off + block, :, :kw]))
+                    i0 = s0 + off
+                    b_idx = i0 // block
+                    lo, hi = off, min(off + block, s1 - s0)
+                    if not pending or pending[-1][0] != b_idx:
+                        pending.append((b_idx, [], [], []))
+                    rr, cc = res.raw_kept[lo:hi], res.count[lo:hi]
+                    for x in (rr, cc):     # schedule D2H now, read later
+                        try:
+                            x.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                    pending[-1][1].append(res.keys[lo:hi, :, :kw])
+                    pending[-1][2].append(rr)
+                    pending[-1][3].append(cc)
                 if i_verify := [i for i in range(s0, s1) if i in verify_ids]:
                     for i in i_verify:
-                        sample_keys[i] = res.keys[i - s0]   # device, lazy
-            t0 = time.perf_counter()
-            raws = np.asarray(jnp.concatenate(raws_d))
-            counts = np.asarray(jnp.concatenate(counts_d)).astype(np.int32)
-            phases["sketch_s"] += time.perf_counter() - t0
-            bytes_d2h += raws.nbytes + counts.nbytes
-            if int(raws.max()) > capacity:
-                raise _CapacityOverflow(
-                    1 << math.ceil(math.log2(int(raws.max()) + 1)))
+                        sample_keys[i] = jnp.array(res.keys[i - s0])
+                # finalize blocks that fell out of the lookahead window
+                # (complete: the NEXT block has started receiving parts)
+                while len(pending) > LOOKAHEAD + 1:
+                    finalize(*pending.pop(0))
+            while pending:
+                finalize(*pending.pop(0))
             for i in list(sample_keys):
                 k = np.asarray(sample_keys[i][:int(counts[i])]) \
                     .astype(np.uint64)
@@ -302,34 +350,14 @@ class DevicePipeline:
                      k[:, 2] | (k[:, 3] << np.uint64(32))], axis=1))
                 bytes_d2h += int(counts[i]) * 16
 
-        # presort width: the dispatch capacity is conservatively 2x the
-        # expected sketch size (capacity_for), but the tile scan's work is
-        # linear in the cache width — trim to the tightest 128-multiple
-        # power of two covering every ACTUAL count (sketch keys are sorted
-        # with sentinel padding, so a prefix slice is exact).  Presort is
-        # deferred until all counts are known; the keys parked on device
-        # meanwhile cost G * capacity * kw words of HBM.
-        cap_p = max(128, 1 << int(math.ceil(math.log2(
-            max(1, int(counts.max()))))))
-        cap_p = min(cap_p, capacity)
+        assert all(c is not None for c in caches)
         t0 = time.perf_counter()
-        parts.sort()
-        while parts:
-            b = len(caches)
-            i0, i1 = b * block, min(g, (b + 1) * block)
-            seg = [p for p in parts if i0 <= p[0] < i1]
-            assert sum(p[1].shape[0] for p in seg) == i1 - i0
-            for p in seg:
-                parts.remove(p)
-            kb = jnp.concatenate([p[1][:, :cap_p] for p in seg])
-            if i1 - i0 < block:            # ragged tail: sentinel sketches
-                pad = jnp.full((block - (i1 - i0), cap_p, kw),
-                               _SENT, jnp.uint32)
-                kb = jnp.concatenate([kb, pad])
-            caches.append(presort_block_packed(
-                kb, key_bits=key_bits, gidbits=gidbits, pw=pw))
+        rows_max = max(c.shape[1] for c in caches)
+        cap_p = rows_max * 128 // block
+        caches = [c if c.shape[1] == rows_max else jnp.concatenate(
+            [c, jnp.full((pw, rows_max - c.shape[1], 128), _SENT,
+                         jnp.uint32)], axis=1) for c in caches]
         phases["presort_s"] += time.perf_counter() - t0
-        assert len(caches) == nb
 
         with span("comparison", log):
             t0 = time.perf_counter()
