@@ -804,7 +804,8 @@ def bench_e2e(args) -> int:
         "genomes": g, "nt": n, "window": args.window, "k": args.k,
         "scale": args.scale, "block": blk, "sketch_cap": cap,
         "wall_s": round(wall, 3),
-        "phases": {k: round(v, 3) for k, v in res.phases.items()},
+        "phases": {k: (round(v, 3) if isinstance(v, float) else v)
+                   for k, v in res.phases.items()},
         "bytes_h2d": int(res.bytes_h2d),
         "bytes_d2h": int(res.bytes_d2h),
         "transport_frac_est": round(transport_s_est / wall, 4),
