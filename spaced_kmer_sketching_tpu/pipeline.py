@@ -575,53 +575,102 @@ class MeshDevicePipeline:
                   "allpairs_s": 0.0}
         bytes_h2d = bytes_d2h = 0
         sample_keys: Dict[int, np.ndarray] = {}
-        parts, raws_d, counts_d = [], [], []
+        counts = np.zeros(g, np.int32)
+        segs: List = []      # per-dispatch (ns, pw, rows_d, 128) caches
         t_start = time.perf_counter()
         empty = PackedSeqs(codes=np.empty(0, np.uint8),
                            run_lens=np.empty(0, np.int64))
 
+        # same bounded-parking scheme as DevicePipeline (r5): each
+        # dispatch (one block per device) presorts as soon as its scalars
+        # arrive, trimmed to its own power-of-two count; segments pad to
+        # the widest cache before the tile phase.  The next source batch
+        # prefetches on a worker thread.
+        import concurrent.futures as cf
+        LOOKAHEAD = 2
+        ingest_work = [0.0]
+
+        def timed_source(a, b):
+            t = time.perf_counter()
+            out = source(a, b)
+            ingest_work[0] += time.perf_counter() - t
+            return out
+
+        pending: List[Tuple[int, object, object, object]] = []
+
+        def finalize(s0, keys, rr, cc):
+            nonlocal bytes_d2h
+            t0 = time.perf_counter()
+            raws = np.asarray(rr)
+            cnt = np.asarray(cc)
+            phases["sketch_s"] += time.perf_counter() - t0
+            bytes_d2h += raws.nbytes + cnt.nbytes
+            if int(raws.max()) > capacity:
+                raise _CapacityOverflow(
+                    1 << math.ceil(math.log2(int(raws.max()) + 1)))
+            t0 = time.perf_counter()
+            hi = min(g, s0 + g_d)
+            counts[s0:hi] = cnt[:hi - s0]
+            cap_d = max(128, 1 << int(math.ceil(math.log2(
+                max(1, int(cnt.max(initial=1)))))))
+            cap_d = min(cap_d, capacity)
+            pre = _mesh_presort_fn(self.mesh, block, cap_d, kw, key_bits,
+                                   gidbits, pw)
+            segs.append(pre(keys))
+            for i in verify_ids:
+                if s0 <= i < hi:
+                    k = np.asarray(keys[i - s0, :int(counts[i])]) \
+                        .astype(np.uint64)
+                    sample_keys[i] = np.ascontiguousarray(np.stack(
+                        [k[:, 0] | (k[:, 1] << np.uint64(32)),
+                         k[:, 2] | (k[:, 3] << np.uint64(32))], axis=1))
+                    bytes_d2h += int(counts[i]) * 16
+            phases["presort_s"] += time.perf_counter() - t0
+
+        ex = cf.ThreadPoolExecutor(max_workers=1)
+        t_span0 = time.perf_counter()
         with span("sketching", log):
+            fut = ex.submit(timed_source, 0, min(g, g_d))
             for s0 in range(0, g, g_d):
                 s1 = min(g, s0 + g_d)
                 t0 = time.perf_counter()
-                batch = source(s0, s1)
+                batch = fut.result()
+                phases["ingest_s"] += time.perf_counter() - t0
+                if s1 < g:
+                    fut = ex.submit(timed_source, s1, min(g, s1 + g_d))
                 if not isinstance(batch, _DevicePlanes) and s1 - s0 < g_d:
                     batch = list(batch) + [empty] * (g_d - (s1 - s0))
-                phases["ingest_s"] += time.perf_counter() - t0
                 t0 = time.perf_counter()
                 res, h2d = self._dispatch(batch, g_d, n, capacity)
                 bytes_h2d += h2d
                 phases["sketch_s"] += time.perf_counter() - t0
-                raws_d.append(res.raw_kept)
-                counts_d.append(res.count)
-                parts.append((s0, res.keys))
-            t0 = time.perf_counter()
-            raws = np.asarray(jnp.concatenate(raws_d))
-            counts_all = np.asarray(jnp.concatenate(counts_d))
-            phases["sketch_s"] += time.perf_counter() - t0
-            bytes_d2h += raws.nbytes + counts_all.nbytes
-            if int(raws.max()) > capacity:
-                raise _CapacityOverflow(
-                    1 << math.ceil(math.log2(int(raws.max()) + 1)))
-            counts = counts_all[:g].astype(np.int32)
-            for s0, keys in parts:
-                for i in verify_ids:
-                    if s0 <= i < min(g, s0 + g_d):
-                        k = np.asarray(keys[i - s0, :int(counts[i])]) \
-                            .astype(np.uint64)
-                        sample_keys[i] = np.ascontiguousarray(np.stack(
-                            [k[:, 0] | (k[:, 1] << np.uint64(32)),
-                             k[:, 2] | (k[:, 3] << np.uint64(32))], axis=1))
-                        bytes_d2h += int(counts[i]) * 16
+                rr, cc = res.raw_kept, res.count
+                for x in (rr, cc):
+                    try:
+                        x.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                pending.append((s0, res.keys, rr, cc))
+                while len(pending) > LOOKAHEAD:
+                    finalize(*pending.pop(0))
+            while pending:
+                finalize(*pending.pop(0))
+        ex.shutdown(wait=False)
+        span_wall = time.perf_counter() - t_span0
+        phases["ingest_work_s"] = ingest_work[0]
+        hidden = max(0.0, ingest_work[0] + phases["sketch_s"] - span_wall)
+        denom = min(ingest_work[0], phases["sketch_s"])
+        phases["overlap_eff"] = round(hidden / denom, 3) if denom > 0.05 \
+            else None
 
-        cap_p = max(128, 1 << int(math.ceil(math.log2(
-            max(1, int(counts.max()))))))
-        cap_p = min(cap_p, capacity)
         t0 = time.perf_counter()
-        pre = _mesh_presort_fn(self.mesh, block, cap_p, kw, key_bits,
-                               gidbits, pw)
-        cache = jnp.concatenate([pre(keys) for _, keys in parts])
-        parts.clear()
+        rows_max = max(s.shape[2] for s in segs)
+        cap_p = rows_max * 128 // block
+        segs = [s if s.shape[2] == rows_max else jnp.concatenate(
+            [s, jnp.full(s.shape[:2] + (rows_max - s.shape[2], 128),
+                         _SENT, jnp.uint32)], axis=2) for s in segs]
+        cache = jnp.concatenate(segs)
+        segs.clear()
         phases["presort_s"] += time.perf_counter() - t0
 
         with span("comparison", log):
