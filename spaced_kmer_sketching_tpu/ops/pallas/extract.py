@@ -462,20 +462,37 @@ def _expand_words(raw):
     return out[:chunks].reshape(chunks, 16, LANES).reshape(TILE_ROWS, LANES)
 
 
-def _compact_raw_kernel(pc_hbm, pr_hbm, mask_ref, salt_ref, bounds_ref,
+def _compact_raw_kernel(pc_hbm, mask_ref, salt_ref, bounds_ref,
                         meta_ref, *refs, window: int, scale: int,
                         variant: str, k_slots: int, out_words: int,
                         k_bounds: int):
-    """_compact_kernel fed by RAW packed-word planes: VMEM expansion via
-    _expand_words, run ids from bounds (meta_ref (G, 2) = [rid0, vlen])."""
+    """_compact_kernel fed by the RAW packed-word plane: VMEM expansion via
+    _expand_words, run ids from bounds (meta_ref (G, 2) = [rid0, vlen]).
+
+    Only the COMPLEMENTED plane ~p streams from HBM: the reversed plane
+    is an element-local transform of it — pr[w] = rev2bit(p[w]) and the
+    expansion is a pure word selection, so qr = rev2bit(~qc) in VMEM
+    (~10 shift/mask ops per cell vs a second 100-MFLOP selection matmul
+    + DMA stream + scratch; measured the compact dispatch 46.0 ->
+    41.5 ms at g=128, r5).  The lead/fill regions differ from the old
+    two-plane form (rev2bit(~0) = ~0, not 0) but only feed windows whose
+    run-id validity is false, which the keep mask drops before
+    compaction — outputs are bit-identical (tested)."""
     outs = refs[:out_words]
-    ocnt, pc_s, pr_s, sems = refs[out_words:]
+    ocnt, pc_s, sems = refs[out_words:]
     g = pl.program_id(0)
     b = pl.program_id(1)
-    slot = _pipelined_dma((pc_hbm, pr_hbm), (pc_s, pr_s), sems,
+    slot = _pipelined_dma((pc_hbm,), (pc_s,), sems,
                           nblocks=pl.num_programs(1), brows=16)
     qc = _expand_words(pc_s[slot])
-    qr = _expand_words(pr_s[slot])
+    m2 = jnp.uint32(0x33333333)
+    m4 = jnp.uint32(0x0F0F0F0F)
+    m8 = jnp.uint32(0x00FF00FF)
+    w_ = ~qc
+    w_ = ((w_ & m2) << 2) | ((w_ >> 2) & m2)
+    w_ = ((w_ & m4) << 4) | ((w_ >> 4) & m4)
+    w_ = ((w_ & m8) << 8) | ((w_ >> 8) & m8)
+    qr = (w_ << 16) | (w_ >> 16)
 
     # run-id tile: t = code position of tile element (r, l); id = rid0 +
     # (# run starts <= t), -1 outside [0, vlen) — matches the expanded
@@ -506,8 +523,6 @@ def extract_compact_windows_raw(p, bounds, rid0, vlen, mask_words, *,
     bounds (G, K) int32 sorted interior run starts (padded with a value
     past every position), rid0/vlen (G,) int32.  Output contract identical
     to extract_compact_windows_prepacked."""
-    from ..bitops import _rev32_2bit
-
     g, n16 = p.shape
     nwp = ((nw + BLOCK - 1) // BLOCK) * BLOCK
     nblocks = nwp // BLOCK
@@ -515,13 +530,12 @@ def extract_compact_windows_raw(p, bounds, rid0, vlen, mask_words, *,
     assert 32 * out_words >= 2 * window
 
     # complemented pack = bitwise NOT (sum_u (3-c_u)<<2u == ~sum_u c_u<<2u);
-    # reversed pack = 2-bit-unit word reversal.  Tiny: body/16 words.
+    # the REVERSED plane never exists: the kernel derives it from the
+    # expanded complemented plane element-locally (see _compact_raw_kernel)
     lead = jnp.zeros((g, LANES), jnp.uint32)
     pad = rows * LANES - LANES - n16
     fill = jnp.zeros((g, pad), jnp.uint32)
     pc2 = jnp.concatenate([lead, ~p, fill], axis=1).reshape(g, rows, LANES)
-    pr2 = jnp.concatenate([lead, _rev32_2bit(p), fill], axis=1) \
-        .reshape(g, rows, LANES)
 
     mask_words, salts = _norm_mask_salt(mask_words, salt, g)
     k_bounds = bounds.shape[1]
@@ -537,7 +551,6 @@ def extract_compact_windows_raw(p, bounds, rid0, vlen, mask_words, *,
         kern,
         grid=(g, nblocks),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((g, KEY_WORDS), lambda gi, b: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -557,11 +570,10 @@ def extract_compact_windows_raw(p, bounds, rid0, vlen, mask_words, *,
             _sds((g, rows_out, 1), jnp.int32, pc2, salts)],
         scratch_shapes=[
             pltpu.VMEM((2, RAW_ROWS, LANES), jnp.uint32),
-            pltpu.VMEM((2, RAW_ROWS, LANES), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 1)),
         ],
         interpret=interpret,
-    )(pc2, pr2, mask_words, salts, bounds.astype(jnp.int32), meta)
+    )(pc2, mask_words, salts, bounds.astype(jnp.int32), meta)
     words = [o.reshape(g, rows_out * k_slots) for o in outs[:out_words]]
     rowcnt = outs[out_words].reshape(g, rows_out)
     return words, rowcnt, nw
