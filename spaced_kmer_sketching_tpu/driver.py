@@ -33,7 +33,11 @@ log = get_logger(__name__)
 
 
 #: collections above this size route through the device-resident pipeline
-_PIPELINE_MIN_GENOMES = 2048
+#: (r5: lowered 2048 -> 512 — the pipeline now beats the two-step path at
+#: every homogeneous size above this: G=1024 measured 0.8 s end-to-end vs
+#: the r3 blocked path's 1.5-1.7 s comparison phase alone — with a
+#: padding-economics guard for heterogeneous collections below)
+_PIPELINE_MIN_GENOMES = 512
 
 
 def _use_device_pipeline(sk, filenames, pairing: str, store) -> bool:
@@ -60,17 +64,24 @@ def _use_device_pipeline(sk, filenames, pairing: str, store) -> bool:
     if env == "0":
         return False
     try:
-        small = all(_os.path.getsize(f) < sk._STREAM_THRESHOLD_BYTES
-                    for f in filenames)
+        sizes = [_os.path.getsize(f) for f in filenames]
+        small = all(s < sk._STREAM_THRESHOLD_BYTES for s in sizes)
     except OSError:
-        small = True       # missing files keep read_fasta's error parity
+        sizes, small = [], True  # missing files keep read_fasta's parity
     if not small:
         return False       # huge genomes need the streaming sketch path
     if env == "1":
         return True
     import jax
-    return (jax.default_backend() == "tpu"
-            and len(filenames) > _PIPELINE_MIN_GENOMES)
+    if (jax.default_backend() != "tpu"
+            or len(filenames) <= _PIPELINE_MIN_GENOMES):
+        return False
+    # padding economics: the pipeline shapes EVERY genome to the largest
+    # file, so a heterogeneous collection would pay device work on padding
+    # (windows masked invalid); the two-step path buckets genomes by
+    # padded shape instead.  Route only when padding at most doubles the
+    # device work.
+    return bool(sizes) and max(sizes) * len(sizes) <= 2 * sum(sizes)
 
 
 def run_experiment(window_size: int, kmer_size: int, filenames: Sequence[str],
