@@ -125,6 +125,9 @@ def main() -> int:
                     help="runs of the e2e flow in one process; the last "
                          "run is reported (strips per-process program-load "
                          "latency)")
+    ap.add_argument("--e2e-mesh", action="store_true",
+                    help="e2e: run the sharded MeshDevicePipeline over all "
+                         "local devices instead of DevicePipeline")
     ap.add_argument("--dispatch", type=int, default=128,
                     help="genomes per sketch dispatch in --mode e2e")
     args = ap.parse_args()
@@ -693,9 +696,20 @@ def bench_e2e(args) -> int:
     # e2e default block is 128 (the measured per-pair FLOP optimum of the
     # tile scan); --block-size 256 stays the default only for --blocked
     blk0 = args.block_size if "--block-size" in sys.argv else 128
-    pipe = DevicePipeline(sk, block=blk0,
-                          dispatch=args.dispatch,
-                          pair_batch=args.pair_batch)
+    if args.e2e_mesh:
+        # the sharded one-flow pipeline over every local device (single
+        # controller) — on one chip this measures the mesh path's
+        # shard_map/put overheads vs DevicePipeline; on a real slice the
+        # same program divides tiles across chips
+        from spaced_kmer_sketching_tpu.parallel.mesh import make_mesh
+        from spaced_kmer_sketching_tpu.pipeline import MeshDevicePipeline
+        mesh = make_mesh(devices=jax.devices())
+        pipe = MeshDevicePipeline(sk, mesh, block=blk0,
+                                  pair_batch=args.pair_batch)
+    else:
+        pipe = DevicePipeline(sk, block=blk0,
+                              dispatch=args.dispatch,
+                              pair_batch=args.pair_batch)
     rngv = np.random.default_rng(1)
     verify_ids = sorted(set(
         int(x) for x in rngv.integers(0, g, size=min(8, g)))) \
