@@ -297,3 +297,60 @@ def test_sweep_kill_and_resume_pair_level(tmp_path, monkeypatch):
     assert resume.read_bytes() == full.read_bytes()
     # only the interrupted config re-sketched (configs 1-2 never touched)
     assert set(sketch_calls) == {20} and len(sketch_calls) == len(paths)
+
+
+def test_pipeline_routing_gate(tmp_path, monkeypatch):
+    """The driver's one-flow routing gate: TPU-only, threshold 512, and the
+    padding-economics guard (the pipeline shapes every genome to the
+    largest file, so a heterogeneous collection stays on the two-step
+    path, which buckets genomes by padded shape)."""
+    import jax
+
+    from spaced_kmer_sketching_tpu.config import SketchConfig
+    from spaced_kmer_sketching_tpu.driver import _use_device_pipeline
+    from spaced_kmer_sketching_tpu.models.fracminhash import (
+        FracMinHashSketcher)
+
+    sk = FracMinHashSketcher(SketchConfig(window=20, k=16, scale=20))
+
+    def mk(n_small, n_big, big_bytes=30000):
+        paths = []
+        for i in range(n_small):
+            p = tmp_path / f"s{i}.fa"
+            p.write_bytes(b">s\n" + b"ACGT" * 750 + b"\n")
+            paths.append(str(p))
+        for i in range(n_big):
+            p = tmp_path / f"b{i}.fa"
+            p.write_bytes(b">b\n" + b"ACGT" * (big_bytes // 4) + b"\n")
+            paths.append(str(p))
+        return paths
+
+    homog = mk(600, 0)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _use_device_pipeline(sk, homog, "all", None)
+    # below the threshold
+    assert not _use_device_pipeline(sk, homog[:512], "all", None)
+    # heterogeneous: one 10x-larger genome makes padding dominate
+    hetero = mk(600, 1)
+    assert not _use_device_pipeline(sk, hetero, "all", None)
+    # non-TPU backends never route
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert not _use_device_pipeline(sk, homog, "all", None)
+    # ring pairing / store-backed runs keep the two-step path
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert not _use_device_pipeline(sk, homog, "ring", None)
+
+
+def test_sweep_shares_program_buckets():
+    """The 62-config reference sweep maps onto <= 4 shared dynamic-window
+    program buckets: every config's (finish_words, capacity) pair must
+    land in a handful of buckets (the per-config jit was the dominant
+    sweep cost, BASELINE_RESULTS.md r5)."""
+    from spaced_kmer_sketching_tpu.ops.sketch import finish_words
+
+    configs = [(10, 10)]
+    configs += [(k, k) for k in range(11, 41)]
+    configs += [(k + 10, k) for k in range(10, 41)]
+    assert len(configs) == 62
+    buckets = {finish_words(w) for w, _ in configs}
+    assert len(buckets) <= 4, buckets
