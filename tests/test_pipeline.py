@@ -184,3 +184,20 @@ def test_driver_mesh_pipeline_csv_byte_identical(tmp_path, monkeypatch):
     import pathlib
     assert pathlib.Path(b).read_bytes() == pathlib.Path(a).read_bytes()
     assert pathlib.Path(c).read_bytes() == pathlib.Path(a).read_bytes()
+
+
+def test_pipeline_capacity_overflow_retry():
+    """A deliberately tiny sketch_capacity forces the pipeline's
+    _CapacityOverflow retry (raised mid-sketch from the per-block
+    finalize since r5); the retried run must match the uncapped run
+    exactly."""
+    cfg_small = SketchConfig(window=20, k=16, scale=20, sketch_capacity=256)
+    cfg_auto = SketchConfig(window=20, k=16, scale=20)
+    g, n = 6, 40_000          # ~2000 expected keys >> 256
+    res_s = DevicePipeline(FracMinHashSketcher(cfg_small), block=128) \
+        .all_pairs(codes_source(g, n, seed=4), g, n)
+    res_a = DevicePipeline(FracMinHashSketcher(cfg_auto), block=128) \
+        .all_pairs(codes_source(g, n, seed=4), g, n)
+    assert int(res_s.counts.max()) > 256          # the retry actually fired
+    np.testing.assert_array_equal(res_s.counts, res_a.counts)
+    np.testing.assert_array_equal(res_s.inter, res_a.inter)
