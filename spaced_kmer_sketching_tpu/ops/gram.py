@@ -718,12 +718,14 @@ def gram_pair_tiles(cache, ii, jj, *, block: int, gidbits: int,
         # broadcasts ~60x slower than this XLA scan (773 ms vs 8.35-12.7 ms
         # per 2M-entry tile), and every alternative layout still needs a
         # per-chunk sublane-vector broadcast — see BASELINE_RESULTS.md.
-        sw = [p.reshape(n) for p in merged]
         if _use_fused_scan(chunk, gidbits, 2 * block, interpret):
             from .pallas.gram_tiles import gram_tile_scan_fused
-            acc = gram_tile_scan_fused(sw, gidbits, 2 * block, split=block,
-                                       interpret=interpret)
+            # merged planes are already (2*rows, 128): pass through
+            # without the (n,) flatten round-trip
+            acc = gram_tile_scan_fused(merged, gidbits, 2 * block,
+                                       split=block, interpret=interpret)
         else:
+            sw = [p.reshape(n) for p in merged]
             acc = _gram_chunks_packed(sw, gidbits, 2 * block, chunk,
                                       binner=binner, split=block,
                                       vary_axes=vary_axes)

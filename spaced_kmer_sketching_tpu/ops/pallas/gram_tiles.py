@@ -290,9 +290,11 @@ def gram_tile_scan_fused(sw, gidbits: int, gp: int, *,
         sb = default_sb(gp)
 
     pw = len(sw)
+    # accepts flat (n,) planes or (rows, 128) planes (no-op reshape for
+    # the latter — gram_pair_tiles passes the merge output through)
     sw2 = [x.reshape(-1, LANES) for x in sw]
     nch = sw2[0].shape[0]
-    assert sw[0].shape[0] % LANES == 0
+    assert sw[0].size % LANES == 0
     pad = -nch % sb
     if pad:
         fill = jnp.full((pad, LANES), 0xFFFFFFFF, jnp.uint32)
