@@ -106,7 +106,14 @@ def _cached_genome_planes(codes_row: np.ndarray, rid_row: np.ndarray):
     if budget > 0:
         h = _hashlib.blake2b(digest_size=16)
         h.update(codes_row.tobytes())
-        h.update(rid_row.tobytes())
+        # the rid plane is fully determined by its change points: hash
+        # the exact boundary positions + boundary values + first value
+        # instead of the expanded int32 plane (8 MB/genome at 2M nt —
+        # hashing it cost ~24 ms/config of the warm sweep, profiled r5)
+        bnd = np.flatnonzero(np.diff(rid_row)).astype(np.int64)
+        h.update(bnd.tobytes())
+        h.update(rid_row[bnd + 1].tobytes() if bnd.size else b"")
+        h.update(rid_row[:1].tobytes())
         key = (codes_row.shape[0], h.digest())
         hit = _UPLOAD_CACHE.get(key)
         if hit is not None:
