@@ -215,7 +215,7 @@ def test_sketcher_multiseed_matches_per_seed():
 
 
 @pytest.mark.parametrize("window,k", [(10, 10), (20, 16), (31, 21),
-                                      (40, 30), (50, 40)])
+                                      (40, 30), (50, 40), (64, 40)])
 def test_dynwin_shared_program_matches_static(window, k):
     """The SHARED dynamic-window sweep program (window/mask/salt as
     runtime operands, ops/sketch.sketch_batch_packed_dyn) is bit-identical
