@@ -390,21 +390,35 @@ def _merge_round(planes, lr: int, interpret, nkeys: int = KEY_WORDS):
 
 def _merge_pass_xla(planes, d: int, run: int, nkeys: int = KEY_WORDS):
     """One bitonic compare-exchange pass at element distance d as plain XLA
-    (reshape to (blocks, 2, d) + lexicographic min/max select — pure
-    elementwise, no sort/top_k/gather).  `run` is the merged run length in
-    elements; direction alternates per run (ascending when a single run
-    remains).  Planes past `nkeys` ride along."""
+    (lexicographic min/max select — pure elementwise, no sort/top_k/
+    gather).  `run` is the merged run length in elements; direction
+    alternates per run (ascending when a single run remains).  Planes past
+    `nkeys` ride along.
+
+    When d is a row multiple (every hybrid-path pass: d >= blk*128) the
+    pairing view keeps 128 as the MINOR dim — (nb, 2, d) put d minor,
+    which changes the tiled layout and made XLA materialize relayout
+    copies around every pass (8 reshape ops ~0.02 ms each per config-4
+    tile, trace r5)."""
     r = planes[0].shape[0]
     m = r * LANES
     nb = m // (2 * d)
-    x = [p.reshape(nb, 2, d) for p in planes]
-    lo = [xq[:, 0, :] for xq in x]
-    hi = [xq[:, 1, :] for xq in x]
+    if d % LANES == 0:
+        dr = d // LANES
+        x = [p.reshape(nb, 2, dr, LANES) for p in planes]
+        lo = [xq[:, 0] for xq in x]
+        hi = [xq[:, 1] for xq in x]
+        asc_shape = (nb, 1, 1)
+    else:
+        x = [p.reshape(nb, 2, d) for p in planes]
+        lo = [xq[:, 0, :] for xq in x]
+        hi = [xq[:, 1, :] for xq in x]
+        asc_shape = (nb, 1)
     lo_lt_hi = _lex_lt_tb(lo, hi, nkeys)
     if run >= m:
         asc = True
     else:
-        blk0 = lax.broadcasted_iota(jnp.int32, (nb, 1), 0) * (2 * d)
+        blk0 = lax.broadcasted_iota(jnp.int32, asc_shape, 0) * (2 * d)
         asc = ((blk0 // run) % 2) == 0
     take_lo = lo_lt_hi == asc
     out = []
