@@ -68,8 +68,10 @@ def _butterfly_compact_lanes(ws, valid):
     return out, rowcnt
 
 
-def _compact_rows_kernel(*refs, nplanes: int, k_out: int):
-    ins, outs = refs[:nplanes], refs[nplanes:]
+def _compact_rows_kernel(*refs, nplanes: int, k_out: int,
+                         with_counts: bool = False):
+    ins = refs[:nplanes]
+    outs = refs[nplanes:2 * nplanes]
     ws = [w[0] for w in ins]                       # (Rt, 128) uint32
     s = jnp.uint32(SENT)
     valid = ws[0] != s
@@ -80,6 +82,11 @@ def _compact_rows_kernel(*refs, nplanes: int, k_out: int):
     svalid = jax.lax.broadcasted_iota(jnp.int32, (rows, k_out), 1) < rowcnt
     for q, o in enumerate(outs):
         o[0] = jnp.where(svalid, packed[q][:, :k_out], jnp.uint32(SENT))
+    if with_counts:
+        # valid slots actually present in THIS row's output (excess past
+        # k_out dropped) — lets callers do exact drop detection from a
+        # tiny (G, R) plane instead of sweeping the whole output
+        refs[-1][0] = jnp.minimum(rowcnt, k_out).astype(jnp.int32)
 
 
 def _row_prefix_excl(row_tot):
@@ -207,27 +214,39 @@ def compact_global(words, *, interpret: bool = False):
     return [o.reshape(g, n) for o in outs]
 
 
-def compact_rows(words, k_out: int, *, interpret: bool = False):
+def compact_rows(words, k_out: int, *, interpret: bool = False,
+                 with_counts: bool = False):
     """words: list of (G, R, 128) uint32 sentinel-padded candidate planes
     -> same-length list of (G, R, k_out): each row's valid slots moved to
     the front (original order), all-ones fill.  Rows with more than k_out
     valid slots drop the excess — callers must detect via valid-count
-    conservation."""
+    conservation.  with_counts=True additionally returns a (G, R) int32
+    plane of per-row OUTPUT valid counts (min(valid, k_out)) so the
+    detection needs no sweep over the output."""
     g, r, lanes = words[0].shape
     np_ = len(words)
     assert lanes == LANES
     rt = min(r, 256)                       # rows per grid step
     while r % rt:
         rt //= 2
-    kern = functools.partial(_compact_rows_kernel, nplanes=np_, k_out=k_out)
+    kern = functools.partial(_compact_rows_kernel, nplanes=np_, k_out=k_out,
+                             with_counts=with_counts)
+    out_specs = [pl.BlockSpec((1, rt, k_out),
+                              lambda gi, t: (gi, t, 0))] * np_
+    out_shape = [_sds((g, r, k_out), jnp.uint32, words[0])] * np_
+    if with_counts:
+        out_specs = out_specs + [pl.BlockSpec((1, rt, 1),
+                                              lambda gi, t: (gi, t, 0))]
+        out_shape = out_shape + [_sds((g, r, 1), jnp.int32, words[0])]
     outs = pl.pallas_call(
         kern,
         grid=(g, r // rt),
         in_specs=[pl.BlockSpec((1, rt, LANES),
                                lambda gi, t: (gi, t, 0))] * np_,
-        out_specs=[pl.BlockSpec((1, rt, k_out),
-                                lambda gi, t: (gi, t, 0))] * np_,
-        out_shape=[_sds((g, r, k_out), jnp.uint32, words[0])] * np_,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*words)
+    if with_counts:
+        return list(outs[:np_]), outs[np_].reshape(g, r)
     return list(outs)

@@ -480,18 +480,31 @@ def _finish_tree(words, rowcnt, k_slots: int, capacity: int, scale: int,
     assert stages is not None
 
     planes = [w for w in words]
-    for srows, k_out in stages:
+    rc_last = None
+    for si, (srows, k_out) in enumerate(stages):
         planes = [p.reshape(g, srows, LANES_) for p in planes]
-        planes = compact_rows(planes, k_out, interpret=interpret)
+        last = si == len(stages) - 1
+        out = compact_rows(planes, k_out, interpret=interpret,
+                           with_counts=last)
+        if last:
+            planes, rc_last = out
+        else:
+            planes = out
         planes = [p.reshape(g, srows * k_out) for p in planes]
     mf = planes[0].shape[1]
 
-    # valid-count conservation (exact drop detection)
-    sent = jnp.uint32(SENTINEL)
-    still = planes[0] != sent
-    for p in planes[1:]:
-        still = still | (p != sent)
-    kept_after = jnp.sum(still, axis=1).astype(jnp.int32)      # (G,)
+    # valid-count conservation (exact drop detection): the last compact
+    # stage emits its per-row output counts, so kept_after is a tiny
+    # (G, R) sum instead of a sentinel sweep over the whole candidate
+    # array (the sweep measured ~1 ms/dispatch as an XLA reduce, r5)
+    if rc_last is not None:
+        kept_after = jnp.sum(rc_last, axis=1).astype(jnp.int32)   # (G,)
+    else:
+        sent = jnp.uint32(SENTINEL)
+        still = planes[0] != sent
+        for p in planes[1:]:
+            still = still | (p != sent)
+        kept_after = jnp.sum(still, axis=1).astype(jnp.int32)     # (G,)
 
     mp = 1 << (max(mf, capacity) - 1).bit_length()   # sort size (pow2)
     if mf < mp:
