@@ -62,8 +62,11 @@ def main() -> int:
                     help="override JAX platform (default: env, i.e. TPU)")
     ap.add_argument("--nt", type=int, default=1 << 21,
                     help="genome length in nucleotides")
-    ap.add_argument("--iters", type=int, default=8, metavar="I",
-                    help="steady-state timing iterations (>= 1)")
+    ap.add_argument("--iters", type=int, default=16, metavar="I",
+                    help="steady-state timing iterations (>= 1; 16 "
+                         "amortizes the per-loop completion sync — 8 "
+                         "measured ~3%% slower cadence for identical "
+                         "device work)")
     ap.add_argument("--window", type=int, default=20)
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--scale", type=int, default=200)
