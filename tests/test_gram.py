@@ -414,3 +414,24 @@ def test_blocked_gram_tight_slab_matches_tile():
     got = blocked_all_pairs(mesh, keys, counts, block=128, engine="gram",
                             key_words=2, key_bits=kb)
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_scan_gate_honors_i8_knob(monkeypatch):
+    """SKS_GRAM_MM=i8 targets the XLA chunk scan's matmul dtype, so the
+    engine gate must route to the XLA scan when it is set (ADVICE r4: the
+    knob was silently ignored under the default fused engine and A/B
+    measurements got mislabeled)."""
+    from spaced_kmer_sketching_tpu.ops import gram
+
+    monkeypatch.setattr(gram, "_TILE_SCAN", "fused")
+    monkeypatch.setattr(gram, "_GRAM_MM", "bf16")
+    assert gram._use_fused_scan(128, 9, 256, interpret=True)
+    monkeypatch.setattr(gram, "_GRAM_MM", "i8")
+    assert not gram._use_fused_scan(128, 9, 256, interpret=True)
+    monkeypatch.setattr(gram, "_GRAM_MM", "bf16")
+    # structural fallbacks unchanged
+    assert not gram._use_fused_scan(64, 9, 256, interpret=True)
+    assert not gram._use_fused_scan(128, 11, 256, interpret=True)
+    assert not gram._use_fused_scan(128, 9, 2048, interpret=True)
+    monkeypatch.setattr(gram, "_TILE_SCAN", "xla")
+    assert not gram._use_fused_scan(128, 9, 256, interpret=True)
