@@ -306,10 +306,15 @@ def pair_tile_sweep(caches, g: int, block: int, out, devs, *, gidbits: int,
             ii = jax.device_put(ii, devs[di])
             jj = jax.device_put(jj, devs[di])
         cap = caches[di].shape[2] * 128 // block
-        pend.append((chunk_pairs, gram_pair_tiles(
+        dt = gram_pair_tiles(
             caches[di], ii, jj, block=block, gidbits=gidbits,
             binner=binner,
-            out_dtype=jnp.int16 if cap <= 32767 else jnp.int32)))
+            out_dtype=jnp.int16 if cap <= 32767 else jnp.int32)
+        try:                       # schedule D2H now, read later: batch k's
+            dt.copy_to_host_async()  # tile download overlaps batch k+1's
+        except AttributeError:       # device scan instead of serializing
+            pass                     # after the full sweep
+        pend.append((chunk_pairs, dt))
     for chunk_pairs, dt in pend:
         tiles = np.asarray(dt)
         for p, (bi, bj) in enumerate(chunk_pairs):
