@@ -693,9 +693,14 @@ class MeshDevicePipeline:
             futs = []
             for b0 in range(0, pp, bsz):
                 sl = arr[b0:b0 + bsz]
-                futs.append(fn(
+                fut = fn(
                     cache, jax.device_put(jnp.asarray(sl[:, 0]), shard),
-                    jax.device_put(jnp.asarray(sl[:, 1]), shard)))
+                    jax.device_put(jnp.asarray(sl[:, 1]), shard))
+                try:               # schedule D2H now, read later (same
+                    fut.copy_to_host_async()   # overlap as pair_tile_sweep)
+                except AttributeError:
+                    pass
+                futs.append(fut)
             out = np.zeros((g, g), np.int32)
             for bi0, fut in zip(range(0, pp, bsz), futs):
                 tiles = np.asarray(fut)
